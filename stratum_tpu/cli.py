@@ -1,0 +1,160 @@
+"""Command-line renderer.
+
+TPU-native analog of the reference's app wiring (src/main.cpp + the CLI
+option surface of Core/Instance.cpp:57-70 and Node/BDPT.cpp:54-127): load or
+build a scene, flatten it, render progressively, tonemap, write the image,
+print an inspector-style stats report. Offline by design — the interactive
+window/ImGui layer of the reference maps to this CLI + the library API.
+
+Usage:
+    python -m stratum_tpu.cli --scene=cornell --width=512 --height=512 \
+        --spp=64 --out=cornell.png --tonemap=aces --exposure=0
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_scene(opts):
+    from stratum_tpu.scene import builtin
+    from stratum_tpu.scene.loaders.obj import load_obj
+    from stratum_tpu.scene.graph import (
+        CameraComponent,
+        NodeGraph,
+        TransformComponent,
+    )
+
+    name = opts.get_str("scene", "cornell")
+    if name == "cornell":
+        return builtin.cornell_box()
+    if name == "furnace":
+        return builtin.furnace()
+    path = Path(name)
+    if not path.exists():
+        raise FileNotFoundError(f"scene {name!r} not found")
+    g = NodeGraph()
+    ext = path.suffix.lower()
+    if ext == ".obj":
+        load_obj(g.root, path)
+    elif ext in (".gltf", ".glb"):
+        from stratum_tpu.scene.loaders.gltf import load_gltf
+
+        load_gltf(g.root, path)
+    elif ext == ".xml":
+        from stratum_tpu.scene.loaders.mitsuba import load_mitsuba
+
+        load_mitsuba(g.root, path)
+    else:
+        raise ValueError(f"unsupported scene extension {ext!r}")
+    return g
+
+
+def ensure_camera(g, opts, scene_aabb):
+    """Find a camera or synthesize one framing the scene (reference:
+    setup_camera, src/main.cpp:69-89 with cameraPosX/... flags)."""
+    from stratum_tpu.scene import flatten as sflatten
+    from stratum_tpu.scene.graph import CameraComponent, TransformComponent
+
+    found = sflatten.find_camera(g.root)
+    if found is not None and not opts.has("cameraPosX"):
+        node, cam = found
+        return node.to_world(), cam.fovy
+    lo, hi = scene_aabb
+    center = (lo + hi) / 2
+    extent = float(np.linalg.norm(hi - lo))
+    eye = np.asarray(
+        [
+            opts.get_float("cameraPosX", center[0]),
+            opts.get_float("cameraPosY", center[1]),
+            opts.get_float("cameraPosZ", center[2] - 1.5 * extent),
+        ],
+        np.float32,
+    )
+    fovy = np.radians(opts.get_float("fovy", 70.0))
+    from stratum_tpu.core import transform as xform
+
+    c2w = np.asarray(xform.look_at(eye, center))
+    return c2w, fovy
+
+
+def main(argv=None) -> int:
+    from stratum_tpu.utils.flags import Options
+
+    opts = Options(sys.argv[1:] if argv is None else argv)
+    if opts.has("help"):
+        print(__doc__)
+        return 0
+
+    # heavy imports after flag parsing
+    import jax
+
+    if opts.has("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    from stratum_tpu.scene import flatten as sflatten
+    from stratum_tpu.render import camera as scamera
+    from stratum_tpu.render import integrator as sintegrator
+    from stratum_tpu.render import tonemap as stonemap
+    from stratum_tpu.io.image import save_image
+
+    t0 = time.time()
+    g = build_scene(opts)
+    scene, stats = sflatten.flatten(g.root)
+    lo = np.asarray(scene.geo.positions).min(axis=0)
+    hi = np.asarray(scene.geo.positions).max(axis=0)
+    t_flatten = time.time() - t0
+
+    width = opts.get_int("width", 512)
+    height = opts.get_int("height", 512)
+    spp = opts.get_int("spp", 16)
+    seed = opts.get_int("seed", 0)
+    c2w, fovy = ensure_camera(g, opts, (lo, hi))
+    view = scamera.make_view(c2w, fovy, width, height)
+
+    cfg = sintegrator.RenderConfig(
+        width=width,
+        height=height,
+        max_bounces=opts.get_int("maxBounces", 4),
+        use_nee=opts.get_bool("nee", True),
+        use_mis=opts.get_bool("mis", True),
+    )
+    integrator_name = opts.get_str("integrator", "path")
+
+    t0 = time.time()
+    if integrator_name == "direct":
+        img = sintegrator.render_direct_progressive(scene, view, cfg, spp, seed)
+    elif integrator_name == "path":
+        img = sintegrator.render_path_progressive(scene, view, cfg, spp, seed)
+    else:
+        raise ValueError(f"unknown integrator {integrator_name!r}")
+    img = np.asarray(img)
+    t_render = time.time() - t0
+
+    mode = stonemap.TonemapMode(opts.get_str("tonemap", "raw"))
+    out = opts.get_str("out", "render.png")
+    display = np.asarray(
+        stonemap.tonemap(img, mode, exposure=opts.get_float("exposure", 0.0))
+    )
+    save_image(out, display if out.endswith(".png") else img)
+
+    # inspector-style report (reference: Scene.cpp:284-297, BDPT.cpp:222-225)
+    rays = width * height * spp
+    print(
+        f"scene: {stats.num_instances} instances, {stats.num_triangles} tris, "
+        f"{stats.num_materials} materials, {stats.num_lights} lights "
+        f"(flatten {t_flatten:.2f}s)"
+    )
+    print(
+        f"render: {width}x{height} @ {spp}spp, {integrator_name} integrator, "
+        f"{t_render:.2f}s, {rays / max(t_render, 1e-9) / 1e6:.2f} Mcamera-rays/s"
+    )
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

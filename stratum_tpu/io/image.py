@@ -1,0 +1,215 @@
+"""Dependency-free image I/O: PNG, Radiance HDR, PFM, NPY.
+
+TPU-native replacement for the reference's stb_image/tinyexr usage
+(src/Core/Image.cpp:60 ``load_image_data``; HDR export at
+src/Node/BDPT.cpp:313-338 via stbi_write_hdr). Pure Python + zlib/struct so
+nothing needs to be installed; loads route through numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from stratum_tpu.core.math import linear_to_srgb
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit, for tonemapped output)
+# ---------------------------------------------------------------------------
+
+def write_png(path, image: np.ndarray):
+    """Write uint8 [H,W,3|4] or float [H,W,3] (assumed already in [0,1],
+    display-encoded) as PNG."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        out = struct.pack(">I", len(data)) + tag + data
+        return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    Path(path).write_bytes(payload)
+
+
+def read_png(path) -> np.ndarray:
+    """Minimal PNG reader (8-bit, non-interlaced, filters 0-4) -> uint8 array."""
+    data = Path(path).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a png"
+    pos = 8
+    idat = b""
+    w = h = c = 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            assert depth == 8 and interlace == 0, "unsupported png"
+            c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * c
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 1:  # sub
+            for i in range(c, stride):
+                line[i] = (line[i] + line[i - c]) & 0xFF
+        elif ftype == 2:  # up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # average
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Radiance HDR (RGBE), linear radiance
+# ---------------------------------------------------------------------------
+
+def _float_to_rgbe(img: np.ndarray) -> np.ndarray:
+    maxc = img.max(axis=-1)
+    valid = maxc >= 1e-32
+    mant, exp = np.frexp(np.where(valid, maxc, 1.0))
+    scale = mant * 256.0 / np.where(valid, maxc, 1.0)
+    rgbe = np.zeros(img.shape[:-1] + (4,), np.uint8)
+    rgbe[..., :3] = np.clip(
+        np.round(img * scale[..., None]), 0, 255
+    ).astype(np.uint8)
+    rgbe[..., 3] = np.where(valid, exp + 128, 0).astype(np.uint8)
+    rgbe[~valid] = 0
+    return rgbe
+
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None].astype(np.float32)
+
+
+def write_hdr(path, image: np.ndarray):
+    """Write linear float [H,W,3] as Radiance .hdr (flat RGBE scanlines,
+    matching the reference's stbi_write_hdr export, BDPT.cpp:313-338)."""
+    img = np.asarray(image, np.float32)
+    h, w, _ = img.shape
+    header = (
+        b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+        + f"-Y {h} +X {w}\n".encode()
+    )
+    Path(path).write_bytes(header + _float_to_rgbe(img).tobytes())
+
+
+def read_hdr(path) -> np.ndarray:
+    data = Path(path).read_bytes()
+    pos = data.index(b"\n\n") + 2
+    eol = data.index(b"\n", pos)
+    dims = data[pos:eol].split()
+    h, w = int(dims[1]), int(dims[3])
+    body = data[eol + 1 :]
+    out = np.empty((h, w, 4), np.uint8)
+    bpos = 0
+    for y in range(h):
+        if len(body) - bpos >= 4 and body[bpos] == 2 and body[bpos + 1] == 2:
+            # RLE scanline
+            bpos += 4
+            scan = np.empty((4, w), np.uint8)
+            for ch in range(4):
+                x = 0
+                while x < w:
+                    n = body[bpos]
+                    bpos += 1
+                    if n > 128:
+                        scan[ch, x : x + n - 128] = body[bpos]
+                        bpos += 1
+                        x += n - 128
+                    else:
+                        scan[ch, x : x + n] = np.frombuffer(
+                            body[bpos : bpos + n], np.uint8
+                        )
+                        bpos += n
+                        x += n
+            out[y] = scan.T
+        else:
+            out[y] = np.frombuffer(
+                body[bpos : bpos + 4 * w], np.uint8
+            ).reshape(w, 4)
+            bpos += 4 * w
+    return _rgbe_to_float(out)
+
+
+# ---------------------------------------------------------------------------
+# PFM (portable float map) + NPY
+# ---------------------------------------------------------------------------
+
+def write_pfm(path, image: np.ndarray):
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[:2]
+    hdr = (b"PF\n" if img.ndim == 3 else b"Pf\n") + f"{w} {h}\n-1.0\n".encode()
+    Path(path).write_bytes(hdr + img[::-1].tobytes())
+
+
+def read_pfm(path) -> np.ndarray:
+    data = Path(path).read_bytes()
+    parts = data.split(b"\n", 3)
+    color = parts[0] == b"PF"
+    w, h = map(int, parts[1].split())
+    scale = float(parts[2])
+    arr = np.frombuffer(parts[3], "<f4" if scale < 0 else ">f4")
+    arr = arr.reshape((h, w, 3) if color else (h, w))
+    return arr[::-1].astype(np.float32)
+
+
+def save_image(path, image: np.ndarray, tonemapped: bool = False):
+    """Dispatch by extension (reference dispatches loaders by extension,
+    Node/Scene.hpp:116-137). ``.png`` gets sRGB-encoded unless the input is
+    already display-referred (``tonemapped=True``)."""
+    p = str(path)
+    img = np.asarray(image)
+    if p.endswith(".png"):
+        write_png(p, img if tonemapped else np.asarray(linear_to_srgb(img)))
+    elif p.endswith(".hdr"):
+        write_hdr(p, img)
+    elif p.endswith(".pfm"):
+        write_pfm(p, img)
+    elif p.endswith(".npy"):
+        np.save(p, img)
+    else:
+        raise ValueError(f"unknown image extension: {p}")

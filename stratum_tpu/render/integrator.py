@@ -1,0 +1,326 @@
+"""Render integrators: direct lighting (M1) and the path tracer built on it.
+
+TPU-native analog of the reference's PathIntegrator
+(src/Shaders/common/path.hlsli) and the ``sample_visibility`` kernel driver
+(src/Shaders/kernels/renderers/bdpt.hlsl:151-300). Architectural translation:
+the reference's divergent SIMT megakernel ``while(beta>0) next_vertex()``
+becomes a fixed-depth bounce loop over a dense SoA ray wavefront — every
+bounce is a batched pass (intersect -> shade -> NEE -> sample next direction)
+with lanes masked out as paths die, which XLA vectorizes wholesale.
+
+Deterministic pcg4d streams keyed by (pixel, seed, dimension) make renders
+bit-identical under any device-mesh sharding of the pixel domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from stratum_tpu.core import math as smath
+from stratum_tpu.core import rng as srng
+from stratum_tpu.ops import intersect
+from stratum_tpu.render import camera as scamera
+from stratum_tpu.render import lights as slights
+from stratum_tpu.render.shading import load_material, make_shading_point
+from stratum_tpu.scene.schema import SceneData
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (jit keys). The reference passes these as
+    BDPTPushConstants + specialization-constant flags (Shaders/bdpt.h:51-81);
+    here they are a hashable dataclass used with ``static_argnums``."""
+
+    width: int = 256
+    height: int = 256
+    max_bounces: int = 4  # surface bounces after the camera hit
+    use_nee: bool = True
+    use_mis: bool = True
+    rr_depth: int = 2  # bounce index where Russian roulette starts
+    rr_min_beta: float = 0.05
+    bsdf: str = "lambert"  # "lambert" | "disney"
+
+
+def mis_power_heuristic(pdf_a, pdf_b):
+    """Power heuristic beta=2 (reference: ``mis()``, path.hlsli:8-15)."""
+    a2 = pdf_a * pdf_a
+    return smath.safe_div(a2, a2 + pdf_b * pdf_b)
+
+
+def _ray_jitter(px, py, seed):
+    st = srng.rng_init(px, py, seed, offset=0)
+    u, st = srng.next_floats(st, 2)
+    return u, st
+
+
+def trace_direct(scene: SceneData, view, cfg: RenderConfig, seed):
+    """One sample/pixel of direct lighting with NEE only — the M1 integrator
+    (baseline config 1). Returns radiance [H*W, 3]."""
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    jitter, st = _ray_jitter(px, py, seed)
+    origin, direction = scamera.generate_rays(
+        view, px, py, jitter, cfg.width, cfg.height
+    )
+    geo = scene.geo
+    hit = intersect.intersect_brute_force(
+        origin, direction, geo.positions, geo.indices
+    )
+    sp = make_shading_point(geo, hit.tri, hit.bary, direction)
+    mat = load_material(scene.materials, sp.material)
+    miss = ~hit.hit
+    radiance = jnp.where(
+        miss[..., None],
+        slights.eval_environment(scene, direction),
+        jnp.where(sp.front_face[..., None], mat.emission, 0.0),
+    )
+
+    # NEE: one light sample per pixel
+    u, st = srng.next_floats(st, 3)
+    ls = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
+    to_light = jnp.where(
+        ls.is_env[..., None], ls.position, ls.position - sp.position
+    )
+    dist = jnp.where(ls.is_env, intersect.T_MAX * 0.5, smath.length(to_light))
+    wi = jnp.where(
+        ls.is_env[..., None], ls.position, to_light / dist[..., None]
+    )
+    cos_surf = smath.dot(wi, sp.shading_normal)
+    # area lights emit from their front face only (reference: eval_emission
+    # gates on the hit orientation, path.hlsli:847-894)
+    cos_light = jnp.where(ls.is_env, 1.0, jnp.maximum(smath.dot(-wi, ls.normal), 0.0))
+    # geometry term converts the area pdf to solid angle; env pdf is already W
+    g = jnp.where(
+        ls.is_env, 1.0, smath.safe_div(cos_light, dist * dist)
+    )
+    pdf_w = jnp.where(ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g))
+    f = mat.base_color * smath.INV_PI  # Lambertian (M1)
+    contrib = (
+        f
+        * ls.radiance
+        * (jnp.maximum(cos_surf, 0.0) / jnp.maximum(pdf_w, 1e-12))[..., None]
+    )
+    candidate = (
+        hit.hit
+        & (cos_surf > 0.0)
+        & (jnp.max(contrib, axis=-1) > 0.0)
+        & (pdf_w > 1e-12)
+    )
+    shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
+    occluded = intersect.occluded_brute_force(
+        shadow_origin, wi, dist, geo.positions, geo.indices
+    )
+    radiance = radiance + jnp.where(
+        (candidate & ~occluded)[..., None], contrib, 0.0
+    )
+    return radiance
+
+
+@partial(jax.jit, static_argnums=(2,))
+def render_direct(scene: SceneData, view, cfg: RenderConfig, seed):
+    """Jitted single-sample direct-lighting image [H, W, 3]."""
+    rad = trace_direct(scene, view, cfg, seed)
+    return rad.reshape(cfg.height, cfg.width, 3)
+
+
+def render_direct_progressive(scene, view, cfg: RenderConfig, spp: int, seed0=0):
+    """Average ``spp`` independent seeds (reference: progressive accumulation
+    in temporal_accumulation.hlsl's no-reprojection mode)."""
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + render_direct(scene, view, cfg, seed0 + s)
+    return acc / spp
+
+
+# ---------------------------------------------------------------------------
+# path tracer (M3): wavefront bounce loop with NEE + MIS + Russian roulette
+# ---------------------------------------------------------------------------
+
+def _bsdf_fns(cfg: RenderConfig):
+    from stratum_tpu.render import bsdf as sbsdf
+
+    if cfg.bsdf == "lambert":
+        return sbsdf.lambert_eval, sbsdf.lambert_sample
+    if cfg.bsdf == "disney":
+        from stratum_tpu.render import disney
+
+        return disney.disney_eval, disney.disney_sample
+    raise ValueError(f"unknown bsdf {cfg.bsdf!r}")
+
+
+def trace_path(scene: SceneData, view, cfg: RenderConfig, seed):
+    """One path-traced sample per pixel. The reference megakernel loop
+    ``while(beta>0) next_vertex()`` (path.hlsli:954-1075) restructured as a
+    dense per-bounce wavefront; every iteration intersects, adds MIS-weighted
+    emission, runs NEE with a deferred-style shadow batch, samples the BSDF
+    and continues masked-dead lanes.
+
+    Returns radiance [H*W, 3].
+    """
+    bsdf_eval, bsdf_sample = _bsdf_fns(cfg)
+    geo = scene.geo
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    jitter, st = _ray_jitter(px, py, seed)
+    origin, direction = scamera.generate_rays(
+        view, px, py, jitter, cfg.width, cfg.height
+    )
+    n = origin.shape[0]
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    prev_pdf_w = jnp.full((n,), -1.0, jnp.float32)  # <0 => delta/camera vertex
+
+    def bounce(carry, _):
+        origin, direction, beta, radiance, alive, prev_pdf_w, st, depth = carry
+        hit = intersect.intersect_brute_force(
+            origin, direction, geo.positions, geo.indices
+        )
+        sp = make_shading_point(geo, hit.tri, hit.bary, direction)
+        mat = load_material(scene.materials, sp.material)
+
+        # -- escaped rays: environment with MIS vs NEE ---------------------
+        miss = alive & ~hit.hit
+        env_le = slights.eval_environment(scene, direction)
+        env_nee_pdf = slights.env_pdf_w_mis(scene, direction)
+        if not cfg.use_nee:
+            w_env = jnp.ones_like(env_nee_pdf)
+        elif cfg.use_mis:
+            w_env = jnp.where(
+                prev_pdf_w < 0.0,
+                1.0,
+                mis_power_heuristic(prev_pdf_w, env_nee_pdf),
+            )
+        else:
+            w_env = jnp.where(prev_pdf_w < 0.0, 1.0, 0.0)
+        radiance = radiance + jnp.where(
+            miss[..., None], beta * env_le * w_env[..., None], 0.0
+        )
+
+        # -- emissive hit with MIS vs NEE (eval_emission, path.hlsli:847-894)
+        is_emissive = alive & hit.hit & (sp.light >= 0) & sp.front_face
+        dist2 = smath.length_squared(sp.position - origin)
+        cos_light = jnp.abs(smath.dot(direction, sp.geom_normal))
+        nee_pdf_area = slights.light_pdf_area(scene, hit.tri, sp.light)
+        nee_pdf_w = smath.safe_div(nee_pdf_area * dist2, cos_light)
+        if not cfg.use_nee:
+            # BSDF sampling is the only strategy: full weight everywhere
+            w_emit = jnp.ones_like(nee_pdf_w)
+        elif cfg.use_mis:
+            w_emit = jnp.where(
+                prev_pdf_w < 0.0,
+                1.0,
+                mis_power_heuristic(prev_pdf_w, nee_pdf_w),
+            )
+        else:
+            # NEE without MIS: light hits only count from delta/camera
+            # vertices (reference non-MIS estimator split, path.hlsli:16-29)
+            w_emit = jnp.where(prev_pdf_w < 0.0, 1.0, 0.0)
+        radiance = radiance + jnp.where(
+            is_emissive[..., None], beta * mat.emission * w_emit[..., None], 0.0
+        )
+
+        alive = alive & hit.hit
+        ns = sp.shading_normal
+        wo_local = smath.to_local(-direction, ns)
+
+        # -- NEE (connect_light, path.hlsli:310-366) -----------------------
+        if cfg.use_nee:
+            u, st = srng.next_floats(st, 3)
+            ls = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
+            to_light = jnp.where(
+                ls.is_env[..., None], ls.position, ls.position - sp.position
+            )
+            dist = jnp.where(
+                ls.is_env, intersect.T_MAX * 0.5, smath.length(to_light)
+            )
+            wi = jnp.where(
+                ls.is_env[..., None], ls.position, to_light / jnp.maximum(dist, 1e-20)[..., None]
+            )
+            cos_l = jnp.where(
+                ls.is_env, 1.0, jnp.maximum(smath.dot(-wi, ls.normal), 0.0)
+            )
+            g = jnp.where(ls.is_env, 1.0, smath.safe_div(cos_l, dist * dist))
+            pdf_w = jnp.where(
+                ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g)
+            )
+            wi_local = smath.to_local(wi, ns)
+            ev = bsdf_eval(mat, wo_local, wi_local)
+            w_nee = jnp.where(
+                jnp.asarray(cfg.use_mis),
+                mis_power_heuristic(pdf_w, ev.pdf_fwd),
+                1.0,
+            )
+            contrib = (
+                beta
+                * ev.f
+                * ls.radiance
+                * smath.safe_div(
+                    jnp.abs(wi_local[..., 2]) * w_nee, pdf_w
+                )[..., None]
+            )
+            candidate = (
+                alive
+                & (pdf_w > 1e-12)
+                & (cos_l > 0.0)
+                & (jnp.max(contrib, axis=-1) > 0.0)
+            )
+            shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
+            occluded = intersect.occluded_brute_force(
+                shadow_origin, wi, dist, geo.positions, geo.indices
+            )
+            radiance = radiance + jnp.where(
+                (candidate & ~occluded)[..., None], contrib, 0.0
+            )
+
+        # -- BSDF sampling (sample_direction, path.hlsli:896-952) ----------
+        u, st = srng.next_floats(st, 3)
+        bs = bsdf_sample(mat, wo_local, u)
+        new_dir = smath.to_world(bs.wi, ns)
+        throughput = bs.f * smath.safe_div(
+            jnp.abs(bs.wi[..., 2]), bs.pdf_fwd
+        )[..., None]
+        beta = beta * jnp.where(alive[..., None], throughput, 1.0)
+        alive = alive & (bs.pdf_fwd > 1e-12) & (jnp.max(beta, axis=-1) > 0.0)
+        offset_sign = jnp.sign(bs.wi[..., 2:3])
+        origin = jnp.where(
+            alive[..., None],
+            intersect.ray_offset(sp.position, sp.geom_normal * offset_sign),
+            origin,
+        )
+        direction = jnp.where(alive[..., None], new_dir, direction)
+        prev_pdf_w = bs.pdf_fwd
+
+        # -- Russian roulette (path.hlsli:828-845) -------------------------
+        u_rr, st = srng.next_float(st)
+        p_cont = jnp.clip(smath.max3(beta), cfg.rr_min_beta, 1.0)
+        do_rr = depth >= cfg.rr_depth
+        survive = ~do_rr | (u_rr < p_cont)
+        beta = jnp.where(
+            (do_rr & survive)[..., None], beta / p_cont[..., None], beta
+        )
+        alive = alive & survive
+
+        return (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth + 1), None
+
+    carry = (origin, direction, beta, radiance, alive, prev_pdf_w, st, jnp.asarray(0))
+    carry, _ = lax.scan(bounce, carry, None, length=cfg.max_bounces + 1)
+    return carry[3]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def render_path(scene: SceneData, view, cfg: RenderConfig, seed):
+    """Jitted single-sample path-traced image [H, W, 3]."""
+    rad = trace_path(scene, view, cfg, seed)
+    return rad.reshape(cfg.height, cfg.width, 3)
+
+
+def render_path_progressive(scene, view, cfg: RenderConfig, spp: int, seed0=0):
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + render_path(scene, view, cfg, seed0 + s)
+    return acc / spp

@@ -1,0 +1,109 @@
+"""Shading-point reconstruction from hit records.
+
+TPU-native analog of the reference's ShadingData construction
+(src/Shaders/common/shading_data.hlsli:2-63 ``make_triangle_shading_data``):
+barycentric interpolation of the packed vertex data, geometric normal from the
+cross product, front-face handling, and material parameter fetch (the
+ImageValue ``load()`` of image_value.h, constants-only until the texture stack
+lands).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from stratum_tpu.core import math as smath
+from stratum_tpu.scene.schema import DisneyMaterials, GeometrySoA
+
+
+class ShadingPoint(NamedTuple):
+    position: jnp.ndarray  # f32 [N,3]
+    geom_normal: jnp.ndarray  # f32 [N,3] oriented toward the incoming ray
+    shading_normal: jnp.ndarray  # f32 [N,3] same orientation
+    uv: jnp.ndarray  # f32 [N,2]
+    material: jnp.ndarray  # i32 [N] material row (-1 if miss)
+    light: jnp.ndarray  # i32 [N] light row (-1 if none)
+    instance: jnp.ndarray  # i32 [N]
+    front_face: jnp.ndarray  # bool [N] true if ray hit the front side
+    area: jnp.ndarray  # f32 [N] triangle area (for pdf conversions)
+
+
+def make_shading_point(
+    geo: GeometrySoA, tri, bary, direction
+) -> ShadingPoint:
+    """Reconstruct surface data for hit triangles. ``tri`` may be -1 (miss);
+    outputs are garbage there and must be masked by the caller."""
+    safe_tri = jnp.maximum(tri, 0)
+    idx = geo.indices[safe_tri]  # [N, 3]
+    p0 = geo.positions[idx[..., 0]]
+    p1 = geo.positions[idx[..., 1]]
+    p2 = geo.positions[idx[..., 2]]
+    u = bary[..., 0:1]
+    v = bary[..., 1:2]
+    w = 1.0 - u - v
+    position = w * p0 + u * p1 + v * p2
+    e1 = p1 - p0
+    e2 = p2 - p0
+    ng_raw = jnp.cross(e1, e2)
+    area = 0.5 * smath.length(ng_raw)
+    ng = smath.normalize(ng_raw)
+    n0 = geo.normals[idx[..., 0]]
+    n1 = geo.normals[idx[..., 1]]
+    n2 = geo.normals[idx[..., 2]]
+    ns = smath.normalize(w * n0 + u * n1 + v * n2)
+    # orient the shading normal with the geometric normal
+    ns = jnp.where(smath.dot(ns, ng)[..., None] < 0.0, -ns, ns)
+    t0 = geo.uvs[idx[..., 0]]
+    t1 = geo.uvs[idx[..., 1]]
+    t2 = geo.uvs[idx[..., 2]]
+    uv = w * t0 + u * t1 + v * t2
+    front = smath.dot(direction, ng) < 0.0
+    sign = jnp.where(front, 1.0, -1.0)[..., None]
+    return ShadingPoint(
+        position=position,
+        geom_normal=ng * sign,
+        shading_normal=ns * sign,
+        uv=uv,
+        material=jnp.where(tri >= 0, geo.tri_material[safe_tri], -1),
+        light=jnp.where(tri >= 0, geo.tri_light[safe_tri], -1),
+        instance=jnp.where(tri >= 0, geo.tri_instance[safe_tri], -1),
+        front_face=front,
+        area=area,
+    )
+
+
+class MaterialSample(NamedTuple):
+    """Per-hit Disney parameters gathered from material rows (reference:
+    DisneyMaterial::load, materials/disney_material.hlsli:46-79)."""
+
+    base_color: jnp.ndarray  # [N,3]
+    emission: jnp.ndarray  # [N,3]
+    metallic: jnp.ndarray  # [N]
+    roughness: jnp.ndarray  # [N]
+    anisotropic: jnp.ndarray  # [N]
+    subsurface: jnp.ndarray  # [N]
+    clearcoat: jnp.ndarray  # [N]
+    clearcoat_gloss: jnp.ndarray  # [N]
+    transmission: jnp.ndarray  # [N]
+    eta: jnp.ndarray  # [N]
+
+
+def load_material(materials: DisneyMaterials, material_row) -> MaterialSample:
+    """Gather material constants per hit; row -1 yields zeros via clamping
+    plus caller masking. Texture modulation is layered on by the texturing
+    stage (render/texture.py) once textures exist."""
+    r = jnp.maximum(material_row, 0)
+    return MaterialSample(
+        base_color=materials.base_color[r],
+        emission=materials.emission[r],
+        metallic=materials.metallic[r],
+        roughness=materials.roughness[r],
+        anisotropic=materials.anisotropic[r],
+        subsurface=materials.subsurface[r],
+        clearcoat=materials.clearcoat[r],
+        clearcoat_gloss=materials.clearcoat_gloss[r],
+        transmission=materials.transmission[r],
+        eta=materials.eta[r],
+    )

@@ -1,0 +1,137 @@
+"""Built-in test scenes (Cornell box, furnace) used by tests and benchmarks.
+
+The reference ships no scene files; its test workflow is loading external
+assets. For a hermetic test pyramid (SURVEY.md §4) we need analytic scenes
+with known solutions: the Cornell box (golden images + estimator consistency)
+and the furnace (white-furnace energy conservation for BSDFs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stratum_tpu.scene.graph import (
+    CameraComponent,
+    EnvironmentComponent,
+    MeshPrimitive,
+    NodeGraph,
+    SpherePrimitive,
+    TransformComponent,
+)
+from stratum_tpu.scene.material import Material
+
+
+def _quad(p0, p1, p2, p3):
+    """Two triangles for quad p0..p3 (counter-clockwise)."""
+    pos = np.asarray([p0, p1, p2, p3], np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return pos, idx
+
+
+def _box(pmin, pmax):
+    """Axis-aligned box as 12 triangles with outward normals."""
+    x0, y0, z0 = pmin
+    x1, y1, z1 = pmax
+    quads = [
+        _quad((x0, y0, z0), (x1, y0, z0), (x1, y1, z0), (x0, y1, z0)),  # -z
+        _quad((x1, y0, z1), (x0, y0, z1), (x0, y1, z1), (x1, y1, z1)),  # +z
+        _quad((x0, y0, z1), (x0, y0, z0), (x0, y1, z0), (x0, y1, z1)),  # -x
+        _quad((x1, y0, z0), (x1, y0, z1), (x1, y1, z1), (x1, y1, z0)),  # +x
+        _quad((x0, y0, z1), (x1, y0, z1), (x1, y0, z0), (x0, y0, z0)),  # -y
+        _quad((x0, y1, z0), (x1, y1, z0), (x1, y1, z1), (x0, y1, z1)),  # +y
+    ]
+    pos = np.concatenate([q[0] for q in quads])
+    idx = np.concatenate([q[1] + 4 * i for i, q in enumerate(quads)])
+    return pos, idx
+
+
+def _rot_y(deg: float) -> np.ndarray:
+    a = np.radians(deg)
+    c, s = np.cos(a), np.sin(a)
+    return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def cornell_box(light_scale: float = 1.0, boxes: bool = True) -> NodeGraph:
+    """The classic Cornell box in the canonical 0..555 coordinates, camera on
+    -z looking down +z."""
+    g = NodeGraph()
+    white = Material(base_color=np.asarray([0.73, 0.73, 0.73], np.float32))
+    red = Material(base_color=np.asarray([0.65, 0.05, 0.05], np.float32))
+    green = Material(base_color=np.asarray([0.12, 0.45, 0.15], np.float32))
+    light = Material(
+        base_color=np.zeros(3, np.float32),
+        emission=np.asarray([15.0, 15.0, 15.0], np.float32) * light_scale,
+    )
+
+    def add(name, quads, mat):
+        pos = np.concatenate([q[0] for q in quads])
+        idx = np.concatenate([q[1] + 4 * i for i, q in enumerate(quads)])
+        n = g.root.add_child(name)
+        n.make_component(MeshPrimitive(positions=pos, indices=idx, material=mat))
+        return n
+
+    s = 555.0
+    add("floor", [_quad((0, 0, 0), (s, 0, 0), (s, 0, s), (0, 0, s))], white)
+    add("ceiling", [_quad((0, s, 0), (0, s, s), (s, s, s), (s, s, 0))], white)
+    add("back", [_quad((0, 0, s), (s, 0, s), (s, s, s), (0, s, s))], white)
+    add("right", [_quad((s, 0, 0), (s, s, 0), (s, s, s), (s, 0, s))], green)
+    add("left", [_quad((0, 0, 0), (0, 0, s), (0, s, s), (0, s, 0))], red)
+    # downward-facing emissive quad (normal -y)
+    y = s - 1e-2
+    add(
+        "light",
+        [_quad((213, y, 227), (343, y, 227), (343, y, 332), (213, y, 332))],
+        light,
+    )
+    if boxes:
+        pos, idx = _box((0, 0, 0), (165, 330, 165))
+        tall = g.root.add_child("tall_box")
+        m = np.eye(3, 4, dtype=np.float32)
+        m[:, :3] = _rot_y(15.0)
+        m[:, 3] = (265, 0, 296)
+        tall.make_component(TransformComponent(matrix=m))
+        tall.make_component(MeshPrimitive(positions=pos, indices=idx, material=white))
+        pos, idx = _box((0, 0, 0), (165, 165, 165))
+        short = g.root.add_child("short_box")
+        m = np.eye(3, 4, dtype=np.float32)
+        m[:, :3] = _rot_y(-18.0)
+        m[:, 3] = (130, 0, 65)
+        short.make_component(TransformComponent(matrix=m))
+        short.make_component(MeshPrimitive(positions=pos, indices=idx, material=white))
+
+    cam = g.root.add_child("camera")
+    m = np.eye(3, 4, dtype=np.float32)
+    m[:, 3] = (278.0, 273.0, -800.0)
+    cam.make_component(TransformComponent(matrix=m))
+    cam.make_component(CameraComponent(fovy=np.radians(38.0)))
+    return g
+
+
+def furnace(
+    albedo: float = 0.8, radiance: float = 0.5, stacks: int = 16, slices: int = 32
+) -> NodeGraph:
+    """White furnace: a sphere in a constant environment. Any energy-
+    conserving BSDF must render exactly the environment radiance everywhere:
+    L = radiance * albedo / (1 - albedo) * ... for path tracing the full
+    series converges to `radiance` when albedo-weighted bounces sum the
+    geometric series; used as an energy-conservation oracle."""
+    g = NodeGraph()
+    sph = g.root.add_child("sphere")
+    sph.make_component(
+        SpherePrimitive(
+            radius=1.0,
+            material=Material(base_color=np.full(3, albedo, np.float32)),
+            stacks=stacks,
+            slices=slices,
+        )
+    )
+    env = g.root.add_child("env")
+    env.make_component(
+        EnvironmentComponent(color=np.full(3, radiance, np.float32))
+    )
+    cam = g.root.add_child("camera")
+    m = np.eye(3, 4, dtype=np.float32)
+    m[:, 3] = (0.0, 0.0, -4.0)
+    cam.make_component(TransformComponent(matrix=m))
+    cam.make_component(CameraComponent(fovy=np.radians(45.0)))
+    return g

@@ -1,0 +1,248 @@
+"""Scene flattening: node graph -> device SceneData.
+
+TPU-native analog of ``Scene::update`` (src/Node/Scene.cpp:299-684), which
+walks the node graph, transforms every primitive, deduplicates materials,
+assigns light indices + builds the light power distribution, and uploads
+merged buffers. Differences by design:
+
+- Geometry is baked to **world space** (no TLAS/BLAS instancing layer; the
+  BVH in ops/bvh.py is built over the merged world-space soup).
+- Materials dedup by host value instead of byte-stream hash
+  (Scene.cpp:387-396).
+- The result is one immutable pytree, so re-flattening produces a new
+  SceneData; jit'ted renderers retrace only if static shapes changed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from stratum_tpu.scene import schema
+from stratum_tpu.scene.graph import (
+    CameraComponent,
+    EnvironmentComponent,
+    MeshPrimitive,
+    Node,
+    SpherePrimitive,
+)
+from stratum_tpu.scene.material import Material
+from stratum_tpu.core.distribution import build_env_dist2d, build_dist2d
+
+
+@dataclasses.dataclass
+class FlattenStats:
+    """Inspector-style counters (reference: Scene.cpp:284-297 shows instance/
+    light/material counts in the inspector)."""
+
+    num_instances: int = 0
+    num_triangles: int = 0
+    num_vertices: int = 0
+    num_materials: int = 0
+    num_lights: int = 0
+    instance_names: list = dataclasses.field(default_factory=list)
+
+
+def tessellate_sphere(radius: float, stacks: int = 32, slices: int = 64):
+    """UV-sphere triangulation for SpherePrimitive (the reference traces
+    spheres analytically via procedural AABBs, intersection.hlsli:105-117;
+    first-class analytic spheres can come later — mesh parity first)."""
+    i = np.arange(stacks + 1, dtype=np.float32)
+    j = np.arange(slices + 1, dtype=np.float32)
+    theta = i / stacks * np.pi
+    phi = j / slices * 2.0 * np.pi
+    st, ct = np.sin(theta)[:, None], np.cos(theta)[:, None]
+    sp, cp = np.sin(phi)[None, :], np.cos(phi)[None, :]
+    x = st * cp
+    y = ct * np.ones_like(sp)
+    z = st * sp
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    uv = np.stack(
+        [np.broadcast_to(j / slices, x.shape), np.broadcast_to((i / stacks)[:, None], x.shape)],
+        axis=-1,
+    ).reshape(-1, 2)
+    idx = []
+    for a in range(stacks):
+        for b in range(slices):
+            v00 = a * (slices + 1) + b
+            v01 = v00 + 1
+            v10 = v00 + (slices + 1)
+            v11 = v10 + 1
+            if a > 0:
+                idx.append((v00, v10, v01))
+            if a < stacks - 1:
+                idx.append((v01, v10, v11))
+    indices = np.asarray(idx, np.int32)
+    return (pos * radius).astype(np.float32), pos.astype(np.float32), uv.astype(
+        np.float32
+    ), indices
+
+
+def _transform_mesh(m: np.ndarray, positions, normals):
+    """Bake node-to-world into vertices; normals via inverse-transpose."""
+    pw = positions @ m[:, :3].T + m[:, 3]
+    lin = m[:, :3]
+    inv_t = np.linalg.inv(lin).T
+    nw = normals @ inv_t.T
+    nw /= np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-20)
+    # flip winding-dependent normals if the transform mirrors
+    if np.linalg.det(lin) < 0:
+        nw = -nw
+    return pw.astype(np.float32), nw.astype(np.float32)
+
+
+def compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth normals (reference: Nelson-Max generation in the
+    OBJ loader, Node/loaders/load_obj.cpp:52-86)."""
+    n = np.zeros_like(positions)
+    p0 = positions[indices[:, 0]]
+    face_n = np.cross(positions[indices[:, 1]] - p0, positions[indices[:, 2]] - p0)
+    for k in range(3):
+        np.add.at(n, indices[:, k], face_n)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    return np.where(ln > 1e-12, n / np.maximum(ln, 1e-20), [0.0, 0.0, 1.0]).astype(
+        np.float32
+    )
+
+
+def flatten(root: Node, env_probability: float = 0.5):
+    """Walk the subtree under ``root`` and build the device SceneData.
+
+    Returns (SceneData, FlattenStats).
+    """
+    stats = FlattenStats()
+    all_pos, all_nrm, all_uv, all_idx = [], [], [], []
+    all_tri_mat, all_tri_inst = [], []
+    materials: list[Material] = []
+    mat_rows: dict = {}
+    vert_base = 0
+    default_mat = Material()
+
+    def material_row(mat: Optional[Material]) -> int:
+        m = mat if mat is not None else default_mat
+        k = m.key()
+        if k not in mat_rows:
+            mat_rows[k] = len(materials)
+            materials.append(m)
+        return mat_rows[k]
+
+    def add_mesh(node: Node, positions, indices, normals, uvs, material):
+        nonlocal vert_base
+        m = node.to_world()
+        if normals is None:
+            normals = compute_smooth_normals(positions, indices)
+        if uvs is None:
+            uvs = np.zeros((positions.shape[0], 2), np.float32)
+        pw, nw = _transform_mesh(m, positions, normals)
+        row = material_row(material)
+        inst = stats.num_instances
+        all_pos.append(pw)
+        all_nrm.append(nw)
+        all_uv.append(np.asarray(uvs, np.float32))
+        all_idx.append(np.asarray(indices, np.int32) + vert_base)
+        all_tri_mat.append(np.full(indices.shape[0], row, np.int32))
+        all_tri_inst.append(np.full(indices.shape[0], inst, np.int32))
+        vert_base += positions.shape[0]
+        stats.num_instances += 1
+        stats.instance_names.append(node.name)
+
+    env_component: Optional[EnvironmentComponent] = None
+    for node in root.descendants():
+        mp = node.find(MeshPrimitive)
+        if mp is not None:
+            add_mesh(node, mp.positions, mp.indices, mp.normals, mp.uvs, mp.material)
+        sp = node.find(SpherePrimitive)
+        if sp is not None:
+            pos, nrm, uv, idx = tessellate_sphere(sp.radius, sp.stacks, sp.slices)
+            add_mesh(node, pos, idx, nrm, uv, sp.material)
+        ec = node.find(EnvironmentComponent)
+        if ec is not None:
+            env_component = ec
+
+    if not all_pos:
+        raise ValueError("scene contains no geometry")
+
+    positions = np.concatenate(all_pos)
+    normals = np.concatenate(all_nrm)
+    uvs = np.concatenate(all_uv)
+    indices = np.concatenate(all_idx)
+    tri_mat = np.concatenate(all_tri_mat)
+    tri_inst = np.concatenate(all_tri_inst)
+
+    # material SoA
+    mat_fields = schema.default_material_arrays(len(materials))
+    for i, m in enumerate(materials):
+        mat_fields["base_color"][i] = np.asarray(m.base_color, np.float32)
+        mat_fields["emission"][i] = np.asarray(m.emission, np.float32)
+        for f in (
+            "metallic",
+            "roughness",
+            "anisotropic",
+            "subsurface",
+            "clearcoat",
+            "clearcoat_gloss",
+            "transmission",
+            "eta",
+            "alpha_cutoff",
+        ):
+            mat_fields[f][i] = getattr(m, f)
+    device_mats = schema.DisneyMaterials(
+        **{k: jnp.asarray(v) for k, v in mat_fields.items()}
+    )
+
+    # environment
+    has_env = env_component is not None and (
+        np.any(np.asarray(env_component.color) > 0)
+        or env_component.image is not None
+    )
+    if has_env:
+        if env_component.image is not None:
+            img = np.asarray(env_component.image, np.float32)
+            img = img * np.asarray(env_component.color, np.float32)
+            lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+            env = schema.Environment(
+                emission=jnp.asarray(img), dist=build_env_dist2d(lum)
+            )
+        else:
+            env = schema.constant_environment(env_component.color)
+    else:
+        env = schema.constant_environment((0.0, 0.0, 0.0))
+
+    # lights over padded triangle arrays (padding rows have tri_material=-1)
+    pos_p, nrm_p, uv_p, idx_p, mat_p, inst_p = schema.build_geometry(
+        positions, normals, uvs, indices, tri_mat, tri_inst
+    )
+    lights, tri_light_p = schema.build_lights(
+        pos_p,
+        idx_p,
+        mat_p,
+        np.asarray(device_mats.emission),
+        env_probability=env_probability if has_env else 0.0,
+    )
+
+    geo = schema.GeometrySoA(
+        positions=jnp.asarray(pos_p),
+        normals=jnp.asarray(nrm_p),
+        uvs=jnp.asarray(uv_p),
+        indices=jnp.asarray(idx_p),
+        tri_material=jnp.asarray(mat_p),
+        tri_light=jnp.asarray(tri_light_p),
+        tri_instance=jnp.asarray(inst_p),
+    )
+    scene = schema.SceneData(geo=geo, materials=device_mats, lights=lights, env=env)
+
+    stats.num_triangles = int(indices.shape[0])
+    stats.num_vertices = int(positions.shape[0])
+    stats.num_materials = len(materials)
+    stats.num_lights = int(lights.num_lights)
+    return scene, stats
+
+
+def find_camera(root: Node):
+    """First camera in the subtree -> (node, CameraComponent) or None."""
+    for node, cam in root.find_in_descendants(CameraComponent):
+        return node, cam
+    return None

@@ -1,0 +1,250 @@
+"""Device scene schema: the single source of truth for scene data layouts.
+
+TPU-native analog of the reference's shared C++/HLSL scene headers
+(src/Shaders/scene.h, src/Shaders/materials/disney_data.h and the flattened
+``SceneData`` built by src/Node/Scene.cpp:299-684). Where the reference packs
+bitfields into ``uint4`` records and byte-serialized material streams for a
+bindless GPU descriptor world, the TPU-native layout is plain struct-of-arrays
+pytrees: every field is a padded, statically-shaped ``jnp`` array so a
+``SceneData`` can be passed straight into jit'ted render functions, donated,
+and sharded (replicated) across a device mesh.
+
+Conventions:
+- Geometry is flattened to **world space** at scene-flatten time (the
+  reference instead builds a TLAS of object-space BLASes and lets the driver
+  transform rays, Core/AccelerationStructure.*). World-space flattening makes
+  traversal transform-free, which is what a dense SIMD wavefront wants.
+- Triangle arrays are padded to a multiple of ``TRI_PAD`` with degenerate
+  triangles (all three indices = 0 pointing at a padded origin vertex) which
+  can never be hit (Moller-Trumbore determinant = 0).
+- ``-1`` is the universal "no entry" sentinel (no light, no texture), mirroring
+  the reference's INVALID_INSTANCE (scene.h:23).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from stratum_tpu.core.distribution import Dist1D, Dist2D, build_dist1d, build_dist2d
+
+TRI_PAD = 128  # pad triangle count to the TPU lane width
+VERT_PAD = 8
+
+# instance types (reference scene.h:13-15)
+INSTANCE_TRIANGLES = 0
+INSTANCE_SPHERE = 1
+INSTANCE_VOLUME = 2
+
+
+class GeometrySoA(NamedTuple):
+    """Merged world-space triangle soup (reference: merged vertex/index
+    buffers + PackedVertexData, scene.h:81-94, built at Scene.cpp:643-683)."""
+
+    positions: jnp.ndarray  # f32 [V, 3] world space
+    normals: jnp.ndarray  # f32 [V, 3] world space shading normals (unit)
+    uvs: jnp.ndarray  # f32 [V, 2]
+    indices: jnp.ndarray  # i32 [T, 3]
+    tri_material: jnp.ndarray  # i32 [T] material row (-1 on padding)
+    tri_light: jnp.ndarray  # i32 [T] light row or -1
+    tri_instance: jnp.ndarray  # i32 [T] owning instance id (visibility/pick)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+
+class DisneyMaterials(NamedTuple):
+    """SoA Disney BSDF parameters, one row per unique material
+    (reference: DisneyMaterialData 3xfloat4, materials/disney_data.h:1-45;
+    dedup + serialization at Scene.cpp:387-396). Texture indices index the
+    scene texture stack; -1 means "constant only" (image_value.h semantics:
+    value = factor x optional texture)."""
+
+    base_color: jnp.ndarray  # f32 [M, 3]
+    emission: jnp.ndarray  # f32 [M, 3]
+    metallic: jnp.ndarray  # f32 [M]
+    roughness: jnp.ndarray  # f32 [M]
+    anisotropic: jnp.ndarray  # f32 [M]
+    subsurface: jnp.ndarray  # f32 [M]
+    clearcoat: jnp.ndarray  # f32 [M]
+    clearcoat_gloss: jnp.ndarray  # f32 [M]
+    transmission: jnp.ndarray  # f32 [M]
+    eta: jnp.ndarray  # f32 [M]
+    base_color_tex: jnp.ndarray  # i32 [M] texture id or -1
+    emission_tex: jnp.ndarray  # i32 [M]
+    rough_metal_tex: jnp.ndarray  # i32 [M] (g=roughness, b=metallic; glTF ORM)
+    normal_tex: jnp.ndarray  # i32 [M]
+    alpha_tex: jnp.ndarray  # i32 [M] alpha mask for alpha test
+    alpha_cutoff: jnp.ndarray  # f32 [M]
+
+    @property
+    def num_materials(self) -> int:
+        return self.base_color.shape[0]
+
+
+class LightData(NamedTuple):
+    """Emissive-triangle light table + power distribution (reference: light
+    instance map + power CDF, Scene.cpp:602-612, sampled by
+    Shaders/common/light.hlsli:24-35)."""
+
+    tri_index: jnp.ndarray  # i32 [L] triangle row of each light
+    area: jnp.ndarray  # f32 [L] world-space area
+    power: jnp.ndarray  # f32 [L] emitted power (for power-weighted sampling)
+    power_dist: Dist1D  # over L
+    num_lights: jnp.ndarray  # i32 scalar (0 => no area lights)
+    env_probability: jnp.ndarray  # f32 scalar: P(sample env | sampling a light)
+
+
+class Environment(NamedTuple):
+    """Environment map + importance-sampling tables (reference:
+    Shaders/environment.h:48-144). A 1x1 image is a constant environment."""
+
+    emission: jnp.ndarray  # f32 [He, We, 3] equirect radiance
+    dist: Dist2D  # luminance * sin(theta) importance tables
+
+
+class SceneData(NamedTuple):
+    """Everything a render kernel needs, as one pytree
+    (reference: SceneData, Node/Scene.hpp:46-69)."""
+
+    geo: GeometrySoA
+    materials: DisneyMaterials
+    lights: LightData
+    env: Environment
+
+
+# ---------------------------------------------------------------------------
+# host-side builders (numpy in, device arrays out)
+# ---------------------------------------------------------------------------
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def default_material_arrays(n: int) -> dict:
+    return dict(
+        base_color=np.full((n, 3), 0.8, np.float32),
+        emission=np.zeros((n, 3), np.float32),
+        metallic=np.zeros((n,), np.float32),
+        roughness=np.ones((n,), np.float32),
+        anisotropic=np.zeros((n,), np.float32),
+        subsurface=np.zeros((n,), np.float32),
+        clearcoat=np.zeros((n,), np.float32),
+        clearcoat_gloss=np.ones((n,), np.float32),
+        transmission=np.zeros((n,), np.float32),
+        eta=np.full((n,), 1.5, np.float32),
+        base_color_tex=np.full((n,), -1, np.int32),
+        emission_tex=np.full((n,), -1, np.int32),
+        rough_metal_tex=np.full((n,), -1, np.int32),
+        normal_tex=np.full((n,), -1, np.int32),
+        alpha_tex=np.full((n,), -1, np.int32),
+        alpha_cutoff=np.full((n,), 0.5, np.float32),
+    )
+
+
+def make_materials(**fields) -> DisneyMaterials:
+    """Build a DisneyMaterials from per-field numpy arrays; missing fields get
+    defaults. All fields must share the leading length M."""
+    lengths = {np.shape(v)[0] for v in fields.values()}
+    if len(lengths) != 1:
+        raise ValueError(f"inconsistent material field lengths: {lengths}")
+    n = lengths.pop()
+    arrs = default_material_arrays(n)
+    for k, v in fields.items():
+        if k not in arrs:
+            raise KeyError(f"unknown material field {k!r}")
+        arrs[k] = np.asarray(v, arrs[k].dtype).reshape(arrs[k].shape)
+    return DisneyMaterials(**{k: jnp.asarray(v) for k, v in arrs.items()})
+
+
+def constant_environment(rgb=(0.0, 0.0, 0.0)) -> Environment:
+    img = np.broadcast_to(np.asarray(rgb, np.float32), (1, 1, 3)).copy()
+    return Environment(
+        emission=jnp.asarray(img),
+        dist=build_dist2d(np.ones((1, 1), np.float32)),
+    )
+
+
+def build_geometry(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    indices: np.ndarray,
+    tri_material: np.ndarray,
+    tri_instance: np.ndarray | None = None,
+) -> tuple[np.ndarray, ...]:
+    """Pad host-side geometry arrays (returns numpy; light assignment happens
+    in flatten before upload)."""
+    v = positions.shape[0]
+    t = indices.shape[0]
+    vp = max(_pad_to(v, VERT_PAD), VERT_PAD)
+    tp = max(_pad_to(t, TRI_PAD), TRI_PAD)
+    pos = np.zeros((vp, 3), np.float32)
+    pos[:v] = positions
+    nrm = np.zeros((vp, 3), np.float32)
+    nrm[:v] = normals
+    nrm[v:, 2] = 1.0
+    uv = np.zeros((vp, 2), np.float32)
+    uv[:v] = uvs
+    idx = np.zeros((tp, 3), np.int32)
+    idx[:t] = indices
+    mat = np.full((tp,), -1, np.int32)
+    mat[:t] = tri_material
+    inst = np.zeros((tp,), np.int32)
+    if tri_instance is not None:
+        inst[:t] = tri_instance
+    return pos, nrm, uv, idx, mat, inst
+
+
+def triangle_areas(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    p0 = positions[indices[:, 0]]
+    e1 = positions[indices[:, 1]] - p0
+    e2 = positions[indices[:, 2]] - p0
+    return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+
+def build_lights(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    tri_material: np.ndarray,
+    emission: np.ndarray,
+    env_probability: float = 0.0,
+) -> tuple[LightData, np.ndarray]:
+    """Find emissive triangles, build the power distribution
+    (reference: Scene.cpp:602-612). Returns (LightData, tri_light[T])."""
+    t = indices.shape[0]
+    tri_light = np.full((t,), -1, np.int32)
+    valid = tri_material >= 0
+    lum = np.zeros((t,), np.float32)
+    lum[valid] = emission[tri_material[valid]].mean(axis=-1)
+    light_tris = np.nonzero(lum > 0.0)[0].astype(np.int32)
+    nl = len(light_tris)
+    npad = max(_pad_to(max(nl, 1), 8), 8)
+    tri_light[light_tris] = np.arange(nl, dtype=np.int32)
+    areas = np.zeros((npad,), np.float32)
+    powers = np.zeros((npad,), np.float32)
+    tri_idx = np.zeros((npad,), np.int32)
+    if nl:
+        a = triangle_areas(positions, indices[light_tris])
+        areas[:nl] = a
+        powers[:nl] = lum[light_tris] * a * np.pi  # two-sided handled at eval
+        tri_idx[:nl] = light_tris
+    weights = powers if powers.sum() > 0 else np.ones((npad,), np.float32)
+    return (
+        LightData(
+            tri_index=jnp.asarray(tri_idx),
+            area=jnp.asarray(areas),
+            power=jnp.asarray(powers),
+            power_dist=build_dist1d(weights),
+            num_lights=jnp.asarray(nl, jnp.int32),
+            env_probability=jnp.asarray(env_probability, jnp.float32),
+        ),
+        tri_light,
+    )

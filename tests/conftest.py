@@ -1,9 +1,13 @@
 """Test configuration: run everything on CPU with 8 virtual devices so the
-multi-chip sharding path is exercised without TPU hardware."""
+multi-chip sharding path is exercised without TPU hardware.
+
+Note: the environment may pin ``JAX_PLATFORMS=axon`` (a tunneled TPU backend)
+and re-assert it from sitecustomize, so an env-var setdefault is not enough —
+we must update jax.config after import, before any backend initialization.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stratum_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

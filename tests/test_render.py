@@ -1,0 +1,106 @@
+"""Integrator correctness tests.
+
+The reference has no automated tests; these encode its *manual* oracles
+(SURVEY.md §4): golden facts about the Cornell box, energy conservation
+(white furnace), determinism of the counter-based RNG, and estimator
+consistency (NEE vs BSDF-sampling vs MIS converge to the same mean — the
+``BDPTDebugMode::ePathLengthContribution`` cross-check idea)."""
+
+import numpy as np
+import pytest
+
+from stratum_tpu.render import camera, integrator
+from stratum_tpu.scene import builtin, flatten
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    g = builtin.cornell_box()
+    scene, stats = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    return scene, node.to_world(), cam.fovy
+
+
+def _render_direct(cornell, w=64, h=64, spp=4, **kw):
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, w, h)
+    cfg = integrator.RenderConfig(width=w, height=h, **kw)
+    return np.asarray(
+        integrator.render_direct_progressive(scene, view, cfg, spp)
+    )
+
+
+def test_direct_cornell_walls(cornell):
+    img = _render_direct(cornell, spp=8)
+    left = img[20:45, 2:7].mean(axis=(0, 1))
+    right = img[20:45, -7:-2].mean(axis=(0, 1))
+    assert left[0] > 2.0 * left[1], f"left wall should be red: {left}"
+    assert right[1] > 2.0 * right[0], f"right wall should be green: {right}"
+    # light emits 15
+    assert img.max() == pytest.approx(15.0, rel=1e-5)
+    # floor in shadow of boxes is darker than open floor
+    assert img.mean() > 0.01
+
+
+def test_direct_deterministic(cornell):
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    cfg = integrator.RenderConfig(width=32, height=32)
+    a = np.asarray(integrator.render_direct(scene, view, cfg, 7))
+    b = np.asarray(integrator.render_direct(scene, view, cfg, 7))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(integrator.render_direct(scene, view, cfg, 8))
+    assert np.any(a != c)
+
+
+def test_furnace_single_bounce():
+    """A diffuse sphere in a constant environment: direct illumination gives
+    L = albedo * Le on the sphere, Le off it."""
+    g = builtin.furnace(albedo=0.6, radiance=0.5)
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    view = camera.make_view(node.to_world(), cam.fovy, 48, 48)
+    cfg = integrator.RenderConfig(width=48, height=48, max_bounces=1)
+    img = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg, spp=64)
+    )
+    corner = img[:4, :4].mean()
+    center = img[20:28, 20:28].mean()
+    np.testing.assert_allclose(corner, 0.5, rtol=1e-3)
+    np.testing.assert_allclose(center, 0.3, rtol=0.08)
+
+
+def test_path_estimator_consistency(cornell):
+    """NEE-only, BSDF-only, and MIS estimators agree in the mean
+    (reference cross-check: path.hlsli:16-29 path_weight strategies)."""
+    scene, c2w, fovy = cornell
+    w = h = 32
+    view = camera.make_view(c2w, fovy, w, h)
+    imgs = {}
+    for name, (nee, mis) in {
+        "bsdf": (False, False),
+        "nee": (True, False),
+        "mis": (True, True),
+    }.items():
+        cfg = integrator.RenderConfig(
+            width=w, height=h, max_bounces=3, use_nee=nee, use_mis=mis,
+            rr_depth=100,
+        )
+        imgs[name] = np.asarray(
+            integrator.render_path_progressive(scene, view, cfg, spp=48)
+        )
+    m_bsdf = imgs["bsdf"].mean()
+    m_nee = imgs["nee"].mean()
+    m_mis = imgs["mis"].mean()
+    assert m_nee == pytest.approx(m_mis, rel=0.05)
+    assert m_bsdf == pytest.approx(m_mis, rel=0.15)  # bsdf-only is noisy
+
+
+def test_path_brighter_than_direct(cornell):
+    """GI adds energy: path-traced mean > direct-only mean."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    cfg = integrator.RenderConfig(width=32, height=32, max_bounces=4)
+    p = np.asarray(integrator.render_path_progressive(scene, view, cfg, 8))
+    d = _render_direct(cornell, 32, 32, spp=8)
+    assert p.mean() > d.mean() * 1.1
