@@ -34,6 +34,8 @@ def build_scene(opts):
         return builtin.cornell_box()
     if name == "furnace":
         return builtin.furnace()
+    if name == "spheres":
+        return builtin.material_spheres()
     path = Path(name)
     if not path.exists():
         raise FileNotFoundError(f"scene {name!r} not found")
@@ -121,6 +123,8 @@ def main(argv=None) -> int:
         max_bounces=opts.get_int("maxBounces", 4),
         use_nee=opts.get_bool("nee", True),
         use_mis=opts.get_bool("mis", True),
+        bsdf=opts.get_str("bsdf", "disney"),
+        rr_depth=opts.get_int("rrDepth", 2),
     )
     integrator_name = opts.get_str("integrator", "path")
 

@@ -1,0 +1,83 @@
+"""Multi-chip rendering: pixel-sample tiles sharded over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.5: one vk::Device, one
+queue — src/Core/Device.cpp:126). The TPU-native scaling story replaces that
+with SPMD data parallelism over the pixel domain: a 1-D ``jax.sharding.Mesh``,
+``shard_map`` of the wavefront integrator over flattened pixel tiles, scene
+replicated on every chip. Because the RNG is counter-based and keyed by
+absolute pixel coordinates (core/rng.py), every sampling decision of the
+sharded render is identical to the single-chip render; results match to
+float-reassociation tolerance (~1e-7 — XLA vectorizes reductions differently
+per tile shape), the strongest determinism XLA offers across shapes.
+
+Collectives: none are needed during tracing (embarrassingly parallel);
+``psum`` shows up only when accumulating cross-device statistics (mean/max
+for auto-exposure, compare metrics) — those ride the ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from stratum_tpu.render import camera as scamera
+from stratum_tpu.render import integrator as sintegrator
+
+
+def make_mesh(devices=None, axis: str = "tiles") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_path_sharded(scene, view, cfg, seed, mesh: Mesh):
+    """Path-trace one sample/pixel with pixel tiles sharded over ``mesh``.
+
+    Requires width*height divisible by the mesh size. Returns [H, W, 3].
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    num_pixels = cfg.width * cfg.height
+    if num_pixels % n_dev:
+        raise ValueError(
+            f"{cfg.width}x{cfg.height} pixels not divisible by {n_dev} devices"
+        )
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def tile_render(scene_rep, view_rep, px_tile, py_tile):
+        rad, _ = sintegrator.trace_path(
+            scene_rep, view_rep, cfg, seed, px_tile, py_tile
+        )
+        return rad
+
+    rad = tile_render(scene, view, px, py)
+    return rad.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def _render_sharded_jit(scene, view, cfg, seed, mesh):
+    return render_path_sharded(scene, view, cfg, seed, mesh)
+
+
+def render_path_progressive_sharded(scene, view, cfg, spp: int, mesh, seed0=0):
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + _render_sharded_jit(scene, view, cfg, seed0 + s, mesh)
+    return acc / spp

@@ -45,6 +45,28 @@ class RenderConfig:
     rr_depth: int = 2  # bounce index where Russian roulette starts
     rr_min_beta: float = 0.05
     bsdf: str = "lambert"  # "lambert" | "disney"
+    use_bvh: bool = True  # False = brute-force oracle path
+
+
+def _trace_fns(scene: SceneData, cfg: RenderConfig):
+    """Closest-hit / any-hit tracer pair: LBVH traversal by default, the
+    brute-force oracle when ``cfg.use_bvh`` is off."""
+    from stratum_tpu.ops import bvh as sbvh
+
+    geo = scene.geo
+    if cfg.use_bvh:
+        return (
+            lambda o, d: sbvh.traverse_closest(scene.bvh, o, d),
+            lambda o, d, t: sbvh.traverse_occluded(scene.bvh, o, d, t),
+        )
+    return (
+        lambda o, d: intersect.intersect_brute_force(
+            o, d, geo.positions, geo.indices
+        ),
+        lambda o, d, t: intersect.occluded_brute_force(
+            o, d, t, geo.positions, geo.indices
+        ),
+    )
 
 
 def mis_power_heuristic(pdf_a, pdf_b):
@@ -68,9 +90,8 @@ def trace_direct(scene: SceneData, view, cfg: RenderConfig, seed):
         view, px, py, jitter, cfg.width, cfg.height
     )
     geo = scene.geo
-    hit = intersect.intersect_brute_force(
-        origin, direction, geo.positions, geo.indices
-    )
+    trace_closest, trace_occluded = _trace_fns(scene, cfg)
+    hit = trace_closest(origin, direction)
     sp = make_shading_point(geo, hit.tri, hit.bary, direction)
     mat = load_material(scene.materials, sp.material)
     miss = ~hit.hit
@@ -112,9 +133,7 @@ def trace_direct(scene: SceneData, view, cfg: RenderConfig, seed):
         & (pdf_w > 1e-12)
     )
     shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
-    occluded = intersect.occluded_brute_force(
-        shadow_origin, wi, dist, geo.positions, geo.indices
-    )
+    occluded = trace_occluded(shadow_origin, wi, dist)
     radiance = radiance + jnp.where(
         (candidate & ~occluded)[..., None], contrib, 0.0
     )
@@ -153,18 +172,23 @@ def _bsdf_fns(cfg: RenderConfig):
     raise ValueError(f"unknown bsdf {cfg.bsdf!r}")
 
 
-def trace_path(scene: SceneData, view, cfg: RenderConfig, seed):
+def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None):
     """One path-traced sample per pixel. The reference megakernel loop
     ``while(beta>0) next_vertex()`` (path.hlsli:954-1075) restructured as a
     dense per-bounce wavefront; every iteration intersects, adds MIS-weighted
     emission, runs NEE with a deferred-style shadow batch, samples the BSDF
     and continues masked-dead lanes.
 
-    Returns radiance [H*W, 3].
+    ``px``/``py`` default to the full pixel grid; a sharded caller passes its
+    tile of pixel coords instead (parallel/mesh.py) — because the RNG stream
+    is keyed by absolute pixel coords, any tiling produces bit-identical
+    radiance. Returns radiance [num_pixels, 3].
     """
     bsdf_eval, bsdf_sample = _bsdf_fns(cfg)
     geo = scene.geo
-    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    trace_closest, trace_occluded = _trace_fns(scene, cfg)
+    if px is None:
+        px, py = scamera.pixel_grid(cfg.width, cfg.height)
     jitter, st = _ray_jitter(px, py, seed)
     origin, direction = scamera.generate_rays(
         view, px, py, jitter, cfg.width, cfg.height
@@ -174,12 +198,14 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed):
     beta = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     prev_pdf_w = jnp.full((n,), -1.0, jnp.float32)  # <0 => delta/camera vertex
+    # ray counters (reference: atomic total/shadow counters ->
+    # rays/sec display, Node/BDPT.cpp:197-202, 385-391)
+    n_rays = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32)
 
     def bounce(carry, _):
-        origin, direction, beta, radiance, alive, prev_pdf_w, st, depth = carry
-        hit = intersect.intersect_brute_force(
-            origin, direction, geo.positions, geo.indices
-        )
+        origin, direction, beta, radiance, alive, prev_pdf_w, st, depth, n_rays = carry
+        n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
+        hit = trace_closest(origin, direction)
         sp = make_shading_point(geo, hit.tri, hit.bary, direction)
         mat = load_material(scene.materials, sp.material)
 
@@ -227,6 +253,14 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed):
         alive = alive & hit.hit
         ns = sp.shading_normal
         wo_local = smath.to_local(-direction, ns)
+        # relative IOR of the transmitted side: eta entering, 1/eta exiting
+        # (reference tracks the same via front-face eta flips,
+        # disney_glass.hlsli:10-27, path.hlsli:896-952 eta tracking)
+        mat = mat._replace(
+            eta=jnp.where(
+                sp.front_face, mat.eta, 1.0 / jnp.maximum(mat.eta, 1e-6)
+            )
+        )
 
         # -- NEE (connect_light, path.hlsli:310-366) -----------------------
         if cfg.use_nee:
@@ -270,9 +304,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed):
                 & (jnp.max(contrib, axis=-1) > 0.0)
             )
             shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
-            occluded = intersect.occluded_brute_force(
-                shadow_origin, wi, dist, geo.positions, geo.indices
-            )
+            occluded = trace_occluded(shadow_origin, wi, dist)
+            n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
             radiance = radiance + jnp.where(
                 (candidate & ~occluded)[..., None], contrib, 0.0
             )
@@ -305,18 +338,32 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed):
         )
         alive = alive & survive
 
-        return (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth + 1), None
+        return (
+            origin, direction, beta, radiance, alive, prev_pdf_w, st,
+            depth + 1, n_rays,
+        ), None
 
-    carry = (origin, direction, beta, radiance, alive, prev_pdf_w, st, jnp.asarray(0))
+    carry = (
+        origin, direction, beta, radiance, alive, prev_pdf_w, st,
+        jnp.asarray(0), n_rays,
+    )
     carry, _ = lax.scan(bounce, carry, None, length=cfg.max_bounces + 1)
-    return carry[3]
+    return carry[3], carry[8]
 
 
 @partial(jax.jit, static_argnums=(2,))
 def render_path(scene: SceneData, view, cfg: RenderConfig, seed):
     """Jitted single-sample path-traced image [H, W, 3]."""
-    rad = trace_path(scene, view, cfg, seed)
+    rad, _ = trace_path(scene, view, cfg, seed)
     return rad.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def render_path_with_counts(scene: SceneData, view, cfg: RenderConfig, seed):
+    """As render_path but also returns the traced-ray count (closest +
+    shadow rays actually alive), for rays/sec reporting."""
+    rad, n_rays = trace_path(scene, view, cfg, seed)
+    return rad.reshape(cfg.height, cfg.width, 3), n_rays
 
 
 def render_path_progressive(scene, view, cfg: RenderConfig, spp: int, seed0=0):

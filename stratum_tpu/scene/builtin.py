@@ -107,6 +107,68 @@ def cornell_box(light_scale: float = 1.0, boxes: bool = True) -> NodeGraph:
     return g
 
 
+def material_spheres(stacks: int = 24, slices: int = 48) -> NodeGraph:
+    """Three spheres (diffuse, metal, glass) on a floor under an area light +
+    gray environment — the Disney BSDF showcase/regression scene."""
+    g = NodeGraph()
+    floor = g.root.add_child("floor")
+    s = 20.0
+    pos, idx = _quad((-s, 0, -s), (-s, 0, s), (s, 0, s), (s, 0, -s))
+    floor.make_component(
+        MeshPrimitive(
+            positions=pos,
+            indices=idx,
+            material=Material(base_color=np.full(3, 0.5, np.float32)),
+        )
+    )
+    mats = [
+        Material(base_color=np.asarray([0.7, 0.3, 0.3], np.float32)),
+        Material(
+            base_color=np.asarray([0.9, 0.7, 0.3], np.float32),
+            metallic=1.0,
+            roughness=0.25,
+        ),
+        Material(
+            base_color=np.ones(3, np.float32),
+            transmission=1.0,
+            roughness=0.05,
+            eta=1.5,
+        ),
+    ]
+    for i, m in enumerate(mats):
+        n = g.root.add_child(f"sphere_{i}")
+        t = np.eye(3, 4, dtype=np.float32)
+        t[:, 3] = ((i - 1) * 2.4, 1.0, 0.0)
+        n.make_component(TransformComponent(matrix=t))
+        n.make_component(
+            SpherePrimitive(radius=1.0, material=m, stacks=stacks, slices=slices)
+        )
+    light = g.root.add_child("light")
+    y = 6.0
+    lpos, lidx = _quad((-2, y, -2), (2, y, -2), (2, y, 2), (-2, y, 2))
+    light.make_component(
+        MeshPrimitive(
+            positions=lpos,
+            indices=lidx,
+            material=Material(
+                base_color=np.zeros(3, np.float32),
+                emission=np.full(3, 10.0, np.float32),
+            ),
+        )
+    )
+    env = g.root.add_child("env")
+    env.make_component(EnvironmentComponent(color=np.full(3, 0.2, np.float32)))
+    cam = g.root.add_child("camera")
+    m = np.eye(3, 4, dtype=np.float32)
+    # look slightly down at the spheres from the front
+    from stratum_tpu.core import transform as xform
+
+    c2w = np.asarray(xform.look_at((0.0, 2.2, -7.0), (0.0, 1.0, 0.0)))
+    cam.make_component(TransformComponent(matrix=c2w))
+    cam.make_component(CameraComponent(fovy=np.radians(45.0)))
+    return g
+
+
 def furnace(
     albedo: float = 0.8, radiance: float = 0.5, stacks: int = 16, slices: int = 32
 ) -> NodeGraph:

@@ -232,7 +232,13 @@ def flatten(root: Node, env_probability: float = 0.5):
         tri_light=jnp.asarray(tri_light_p),
         tri_instance=jnp.asarray(inst_p),
     )
-    scene = schema.SceneData(geo=geo, materials=device_mats, lights=lights, env=env)
+    # acceleration structure (reference: TLAS build, Scene.cpp:614-629)
+    from stratum_tpu.ops.bvh import build_bvh
+
+    bvh = build_bvh(geo.positions, geo.indices, geo.tri_material >= 0)
+    scene = schema.SceneData(
+        geo=geo, materials=device_mats, lights=lights, env=env, bvh=bvh
+    )
 
     stats.num_triangles = int(indices.shape[0])
     stats.num_vertices = int(positions.shape[0])

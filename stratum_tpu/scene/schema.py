@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stratum_tpu.core.distribution import Dist1D, Dist2D, build_dist1d, build_dist2d
+from stratum_tpu.ops.bvh import BVHData
 
 TRI_PAD = 128  # pad triangle count to the TPU lane width
 VERT_PAD = 8
@@ -112,12 +113,14 @@ class Environment(NamedTuple):
 
 class SceneData(NamedTuple):
     """Everything a render kernel needs, as one pytree
-    (reference: SceneData, Node/Scene.hpp:46-69)."""
+    (reference: SceneData, Node/Scene.hpp:46-69; the ``bvh`` member plays the
+    role of the TLAS, Scene.cpp:614-629)."""
 
     geo: GeometrySoA
     materials: DisneyMaterials
     lights: LightData
     env: Environment
+    bvh: BVHData
 
 
 # ---------------------------------------------------------------------------
