@@ -197,6 +197,43 @@ def read_pfm(path) -> np.ndarray:
     return arr[::-1].astype(np.float32)
 
 
+def load_image(path, srgb: bool | None = None) -> np.ndarray:
+    """Load any common image format to float32 linear [H,W,C]
+    (reference: Image::load_image_data via stb/tinyexr, Core/Image.cpp:60).
+    8-bit LDR inputs are assumed sRGB-encoded unless ``srgb=False``; HDR
+    formats (.hdr/.pfm/.npy/.exr) are linear."""
+    p = str(path)
+    low = p.lower()
+    if low.endswith(".hdr"):
+        return read_hdr(p)
+    if low.endswith(".pfm"):
+        return read_pfm(p)
+    if low.endswith(".npy"):
+        return np.load(p).astype(np.float32)
+    try:
+        from PIL import Image as PILImage
+
+        img = np.asarray(PILImage.open(p).convert("RGBA"), np.float32) / 255.0
+    except ImportError:
+        if low.endswith(".png"):
+            img = read_png(p).astype(np.float32) / 255.0
+        else:
+            raise
+    if srgb is None:
+        srgb = True
+    if srgb:
+        rgb = np.asarray(srgb_to_linear_np(img[..., :3]))
+        img = np.concatenate([rgb, img[..., 3:]], axis=-1)
+    return img
+
+
+def srgb_to_linear_np(c: np.ndarray) -> np.ndarray:
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4).astype(
+        np.float32
+    )
+
+
 def save_image(path, image: np.ndarray, tonemapped: bool = False):
     """Dispatch by extension (reference dispatches loaders by extension,
     Node/Scene.hpp:116-137). ``.png`` gets sRGB-encoded unless the input is

@@ -1,0 +1,231 @@
+"""MXU ray/triangle intersection: Moller-Trumbore as one matmul.
+
+The TPU's 128x128 systolic array is idle during classic intersection (pure
+VPU work). This module restructures the test so the heavy lifting IS a
+matmul: the four Moller-Trumbore quantities are scalar triple products,
+which are bilinear in (ray features) x (triangle features) via the Plucker
+decomposition:
+
+    a     = det[e1, d, e2]        = -d.n                (n = e1 x e2)
+    u_num = det[s,  d, e2]        =  m.e2 + d.(p0 x e2) (m = o x d)
+    v_num = det[d,  s, e1]        = -m.e1 - d.(p0 x e1)
+    t_num = det[s, e1, e2]        =  o.n  - p0.n
+    u = u_num/a, v = v_num/a, t = t_num/a
+
+so with ray features R = [d, m, o, 1] (N x 10) and a per-triangle 10 x 4
+feature block, ALL tests against a chunk of T triangles are one
+[N,10] @ [10,4T] matmul (MXU) plus a cheap [N,T] mask/argmin (VPU).
+
+This replaces gather-based traversal for leaf batches and small scenes
+outright — TPU gathers run at ~5 ns/row (measured) while the MXU does this
+contraction essentially for free. The hierarchy's remaining job is only to
+pick WHICH triangle chunk a ray tests (see ops/bvh.py).
+
+Precision: computed in f32 with ``precision=HIGHEST`` (6-pass bf16
+emulation). The triple products reference the world origin rather than the
+triangle (classic MT subtracts p0 first), so the caller should keep scene
+coordinates reasonably centered; accuracy is validated against the exact
+test in tests/test_mxu.py.
+
+Reference analog: the RayQuery triangle stage of trace_ray
+(src/Shaders/common/intersection.hlsli:65-191).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from stratum_tpu.ops.intersect import HitRecord, T_MAX
+
+_EPS_A = 1e-12
+
+
+def build_tri_features(positions, indices, valid_mask=None):
+    """Precompute the [T, 10, 4] triangle feature blocks (host/device, once
+    per scene). Invalid (padding) triangles get all-zero features: a = 0 =>
+    never hit."""
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    n = jnp.cross(e1, e2)
+    zeros = jnp.zeros_like(p0[..., 0])
+    # columns: a, u_num, v_num, t_num
+    feat = jnp.stack(
+        [
+            # rows 0..2 : dotted with d
+            jnp.stack([-n, jnp.cross(p0, e2), -jnp.cross(p0, e1), jnp.zeros_like(n)], axis=-1),
+            # rows 3..5 : dotted with m = o x d
+            jnp.stack([jnp.zeros_like(n), e2, -e1, jnp.zeros_like(n)], axis=-1),
+            # rows 6..8 : dotted with o
+            jnp.stack([jnp.zeros_like(n), jnp.zeros_like(n), jnp.zeros_like(n), n], axis=-1),
+        ],
+        axis=1,
+    ).reshape(-1, 9, 4)
+    const_row = jnp.stack(
+        [zeros, zeros, zeros, -jnp.sum(p0 * n, axis=-1)], axis=-1
+    )[:, None, :]
+    feat = jnp.concatenate([feat, const_row], axis=1)  # [T, 10, 4]
+    if valid_mask is not None:
+        feat = jnp.where(valid_mask[:, None, None], feat, 0.0)
+    return feat
+
+
+def ray_features(origin, direction):
+    """[N, 10] ray features [d, o x d, o, 1]."""
+    m = jnp.cross(origin, direction)
+    ones = jnp.ones_like(origin[..., :1])
+    return jnp.concatenate([direction, m, origin, ones], axis=-1)
+
+
+def _chunk_quants(rays, feat_chunk):
+    """rays [N,10] x feat [C,10,4] -> (a, u, v, t) each [N, C]."""
+    c = feat_chunk.shape[0]
+    out = jax.lax.dot_general(
+        rays,
+        jnp.transpose(feat_chunk, (1, 0, 2)).reshape(10, c * 4),
+        (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    ).reshape(rays.shape[0], c, 4)
+    a = out[..., 0]
+    inv_a = jnp.where(jnp.abs(a) > _EPS_A, 1.0 / jnp.where(a != 0, a, 1.0), 0.0)
+    u = out[..., 1] * inv_a
+    v = out[..., 2] * inv_a
+    t = out[..., 3] * inv_a
+    return a, u, v, t
+
+
+RAY_CHUNK = 131072  # bound [rays x tris] temporaries (OOM guard, ~0.5GB/buf)
+
+
+def _ray_chunked(fn, origin, direction, extra, ray_chunk):
+    """Apply fn to ray blocks of at most ray_chunk rays (bounds the [N, C]
+    intermediates that otherwise exceed HBM at 1080p x thousands of tris)."""
+    n = origin.shape[0]
+    if n <= ray_chunk:
+        return fn(origin, direction, *extra)
+    nb = (n + ray_chunk - 1) // ray_chunk
+    pad = nb * ray_chunk - n
+    o = jnp.pad(origin, ((0, pad), (0, 0))).reshape(nb, ray_chunk, 3)
+    d = jnp.pad(direction, ((0, pad), (0, 0))).reshape(nb, ray_chunk, 3)
+    ex = [
+        jnp.pad(e, (0, pad)).reshape(nb, ray_chunk) for e in extra
+    ]
+    out = jax.lax.map(lambda args: fn(args[0], args[1], *args[2:]), (o, d, *ex))
+    return jax.tree.map(
+        lambda x: x.reshape((nb * ray_chunk,) + x.shape[2:])[:n], out
+    )
+
+
+def intersect_mxu(
+    origin,
+    direction,
+    tri_features,
+    t_min=1e-4,
+    t_max=None,
+    chunk=1024,
+    ray_chunk=RAY_CHUNK,
+) -> HitRecord:
+    """Closest hit against all triangles via chunked Plucker matmuls."""
+    if t_max is None:
+        t_max = jnp.full(origin.shape[:-1], T_MAX, jnp.float32)
+    if origin.shape[0] > ray_chunk:
+        return _ray_chunked(
+            lambda o, d, tm: intersect_mxu(
+                o, d, tri_features, t_min, tm, chunk, ray_chunk
+            ),
+            origin,
+            direction,
+            (t_max,),
+            ray_chunk,
+        )
+    rays = ray_features(origin, direction)
+    num_tris = tri_features.shape[0]
+    chunk = min(chunk, num_tris)
+    num_chunks = (num_tris + chunk - 1) // chunk
+    padded = num_chunks * chunk
+    feat = jnp.pad(tri_features, ((0, padded - num_tris), (0, 0), (0, 0)))
+    feat = feat.reshape(num_chunks, chunk, 10, 4)
+
+    def body(carry, chunk_data):
+        best_t, best_tri, best_uv, base = carry
+        a, u, v, t = _chunk_quants(rays, chunk_data)
+        valid = (
+            (jnp.abs(a) > _EPS_A)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > t_min)
+            & (t < t_max[..., None])
+        )
+        t = jnp.where(valid, t, T_MAX)
+        k = jnp.argmin(t, axis=-1)
+        tk = jnp.take_along_axis(t, k[..., None], axis=-1)[..., 0]
+        closer = tk < best_t
+        best_t = jnp.where(closer, tk, best_t)
+        best_tri = jnp.where(closer, base + k.astype(jnp.int32), best_tri)
+        uk = jnp.take_along_axis(u, k[..., None], axis=-1)[..., 0]
+        vk = jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+        best_uv = jnp.where(
+            closer[..., None], jnp.stack([uk, vk], axis=-1), best_uv
+        )
+        return (best_t, best_tri, best_uv, base + chunk), None
+
+    init = (
+        jnp.full(origin.shape[:-1], T_MAX, jnp.float32),
+        jnp.full(origin.shape[:-1], -1, jnp.int32),
+        jnp.zeros(origin.shape[:-1] + (2,), jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (best_t, best_tri, best_uv, _), _ = lax.scan(body, init, feat)
+    return HitRecord(t=best_t, tri=best_tri, bary=best_uv)
+
+
+def occluded_mxu(
+    origin,
+    direction,
+    t_max,
+    tri_features,
+    t_min=1e-4,
+    chunk=1024,
+    ray_chunk=RAY_CHUNK,
+):
+    """Any-hit shadow query via the same matmul form."""
+    if origin.shape[0] > ray_chunk:
+        return _ray_chunked(
+            lambda o, d, tm: occluded_mxu(
+                o, d, tm, tri_features, t_min, chunk, ray_chunk
+            ),
+            origin,
+            direction,
+            (t_max,),
+            ray_chunk,
+        )
+    rays = ray_features(origin, direction)
+    num_tris = tri_features.shape[0]
+    chunk = min(chunk, num_tris)
+    num_chunks = (num_tris + chunk - 1) // chunk
+    padded = num_chunks * chunk
+    feat = jnp.pad(tri_features, ((0, padded - num_tris), (0, 0), (0, 0)))
+    feat = feat.reshape(num_chunks, chunk, 10, 4)
+    limit = t_max * np.float32(1.0 - 1e-3)
+
+    def body(blocked, chunk_data):
+        a, u, v, t = _chunk_quants(rays, chunk_data)
+        valid = (
+            (jnp.abs(a) > _EPS_A)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > t_min)
+            & (t < limit[..., None])
+        )
+        return blocked | jnp.any(valid, axis=-1), None
+
+    blocked0 = jnp.zeros(origin.shape[:-1], bool)
+    blocked, _ = lax.scan(body, blocked0, feat)
+    return blocked

@@ -27,7 +27,7 @@ from stratum_tpu.core import rng as srng
 from stratum_tpu.ops import intersect
 from stratum_tpu.render import camera as scamera
 from stratum_tpu.render import lights as slights
-from stratum_tpu.render.shading import load_material, make_shading_point
+from stratum_tpu.render.shading import apply_textures, load_material, make_shading_point
 from stratum_tpu.scene.schema import SceneData
 
 
@@ -45,28 +45,49 @@ class RenderConfig:
     rr_depth: int = 2  # bounce index where Russian roulette starts
     rr_min_beta: float = 0.05
     bsdf: str = "lambert"  # "lambert" | "disney"
-    use_bvh: bool = True  # False = brute-force oracle path
+    tracer: str = "auto"  # "auto" | "mxu" | "bvh" | "brute"
+
+
+# below this triangle count "auto" tests every triangle on the MXU instead of
+# walking the BVH: measured on TPU v5e, gather-based traversal runs at
+# ~0.15 Mrays/s (gathers cost ~5ns/row) while dense Plucker matmuls exceed
+# 20 Mrays/s on Cornell-sized scenes
+MXU_TRI_THRESHOLD = 16384
 
 
 def _trace_fns(scene: SceneData, cfg: RenderConfig):
-    """Closest-hit / any-hit tracer pair: LBVH traversal by default, the
-    brute-force oracle when ``cfg.use_bvh`` is off."""
+    """Closest-hit / any-hit tracer pair. ``auto`` picks the MXU dense path
+    for small scenes and LBVH traversal for large ones; ``brute`` is the
+    exact oracle used by tests."""
     from stratum_tpu.ops import bvh as sbvh
+    from stratum_tpu.ops import mxu as smxu
 
     geo = scene.geo
-    if cfg.use_bvh:
+    tracer = cfg.tracer
+    if tracer == "auto":
+        tracer = (
+            "mxu" if geo.num_triangles <= MXU_TRI_THRESHOLD else "bvh"
+        )
+    if tracer == "mxu":
+        return (
+            lambda o, d: smxu.intersect_mxu(o, d, scene.tri_features),
+            lambda o, d, t: smxu.occluded_mxu(o, d, t, scene.tri_features),
+        )
+    if tracer == "bvh":
         return (
             lambda o, d: sbvh.traverse_closest(scene.bvh, o, d),
             lambda o, d, t: sbvh.traverse_occluded(scene.bvh, o, d, t),
         )
-    return (
-        lambda o, d: intersect.intersect_brute_force(
-            o, d, geo.positions, geo.indices
-        ),
-        lambda o, d, t: intersect.occluded_brute_force(
-            o, d, t, geo.positions, geo.indices
-        ),
-    )
+    if tracer == "brute":
+        return (
+            lambda o, d: intersect.intersect_brute_force(
+                o, d, geo.positions, geo.indices
+            ),
+            lambda o, d, t: intersect.occluded_brute_force(
+                o, d, t, geo.positions, geo.indices
+            ),
+        )
+    raise ValueError(f"unknown tracer {cfg.tracer!r}")
 
 
 def mis_power_heuristic(pdf_a, pdf_b):
@@ -208,6 +229,12 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         hit = trace_closest(origin, direction)
         sp = make_shading_point(geo, hit.tri, hit.bary, direction)
         mat = load_material(scene.materials, sp.material)
+        # texture modulation (static no-op for untextured scenes: the
+        # sentinel stack has resolution 1)
+        if scene.textures.resolution > 1:
+            mat = apply_textures(
+                mat, scene.materials, scene.textures, sp.material, sp.uv
+            )
 
         # -- escaped rays: environment with MIS vs NEE ---------------------
         miss = alive & ~hit.hit

@@ -90,6 +90,32 @@ class MaterialSample(NamedTuple):
     eta: jnp.ndarray  # [N]
 
 
+def apply_textures(
+    mat: MaterialSample,
+    materials: DisneyMaterials,
+    textures,
+    material_row,
+    uv,
+    lod=None,
+) -> MaterialSample:
+    """Modulate constant material parameters by their textures
+    (the ImageValue ``factor x texture`` composition, image_value.h:33-97;
+    roughness/metallic ride the glTF ORM layout: G=roughness B=metallic,
+    as converted by the reference's material_convert kernels)."""
+    from stratum_tpu.render import texture as stex
+
+    r = jnp.maximum(material_row, 0)
+    bc = stex.sample_bilinear(textures, materials.base_color_tex[r], uv, lod)
+    em = stex.sample_bilinear(textures, materials.emission_tex[r], uv, lod)
+    rm = stex.sample_bilinear(textures, materials.rough_metal_tex[r], uv, lod)
+    return mat._replace(
+        base_color=mat.base_color * bc[..., :3],
+        emission=mat.emission * em[..., :3],
+        roughness=jnp.clip(mat.roughness * rm[..., 1], 1e-3, 1.0),
+        metallic=jnp.clip(mat.metallic * rm[..., 2], 0.0, 1.0),
+    )
+
+
 def load_material(materials: DisneyMaterials, material_row) -> MaterialSample:
     """Gather material constants per hit; row -1 yields zeros via clamping
     plus caller masking. Texture modulation is layered on by the texturing

@@ -172,6 +172,23 @@ def flatten(root: Node, env_probability: float = 0.5):
     tri_mat = np.concatenate(all_tri_mat)
     tri_inst = np.concatenate(all_tri_inst)
 
+    # texture stack: dedup referenced images by identity
+    # (reference: 4096-entry bindless image table + MaterialResources index
+    # maps, image_value.h:99-207)
+    from stratum_tpu.render.texture import build_texture_stack
+
+    tex_images: list = []
+    tex_ids: dict = {}
+
+    def texture_row(img) -> int:
+        if img is None:
+            return -1
+        k = id(img)
+        if k not in tex_ids:
+            tex_ids[k] = len(tex_images)
+            tex_images.append(np.asarray(img, np.float32))
+        return tex_ids[k]
+
     # material SoA
     mat_fields = schema.default_material_arrays(len(materials))
     for i, m in enumerate(materials):
@@ -189,9 +206,15 @@ def flatten(root: Node, env_probability: float = 0.5):
             "alpha_cutoff",
         ):
             mat_fields[f][i] = getattr(m, f)
+        mat_fields["base_color_tex"][i] = texture_row(m.base_color_image)
+        mat_fields["emission_tex"][i] = texture_row(m.emission_image)
+        mat_fields["rough_metal_tex"][i] = texture_row(m.rough_metal_image)
+        mat_fields["normal_tex"][i] = texture_row(m.normal_image)
+        mat_fields["alpha_tex"][i] = texture_row(m.alpha_image)
     device_mats = schema.DisneyMaterials(
         **{k: jnp.asarray(v) for k, v in mat_fields.items()}
     )
+    textures = build_texture_stack(tex_images)
 
     # environment
     has_env = env_component is not None and (
@@ -236,8 +259,19 @@ def flatten(root: Node, env_probability: float = 0.5):
     from stratum_tpu.ops.bvh import build_bvh
 
     bvh = build_bvh(geo.positions, geo.indices, geo.tri_material >= 0)
+    from stratum_tpu.ops.mxu import build_tri_features
+
+    tri_features = build_tri_features(
+        geo.positions, geo.indices, geo.tri_material >= 0
+    )
     scene = schema.SceneData(
-        geo=geo, materials=device_mats, lights=lights, env=env, bvh=bvh
+        geo=geo,
+        materials=device_mats,
+        lights=lights,
+        env=env,
+        bvh=bvh,
+        textures=textures,
+        tri_features=tri_features,
     )
 
     stats.num_triangles = int(indices.shape[0])

@@ -57,9 +57,22 @@ def _parse_mtl(path: Path) -> dict[str, Material]:
         elif cmd == "Ni":
             cur.eta = float(args[0])
         elif cmd == "d":
-            pass  # dissolve/alpha: handled when textures land
+            pass  # dissolve handled via alpha textures when present
         elif cmd == "map_Kd" and args:
-            cur.base_color_path = str((path.parent / args[-1]))  # type: ignore
+            p = path.parent / args[-1]
+            if p.exists():
+                from stratum_tpu.io.image import load_image
+
+                img = load_image(p, srgb=True)
+                cur.base_color_image = img[..., :4]
+                if np.asarray(cur.base_color).max() <= 0.0:
+                    cur.base_color = np.ones(3, np.float32)
+        elif cmd in ("map_bump", "bump") and args:
+            p = path.parent / args[-1]
+            if p.exists():
+                from stratum_tpu.io.image import load_image
+
+                cur.normal_image = load_image(p, srgb=False)
     return mats
 
 

@@ -121,6 +121,8 @@ class SceneData(NamedTuple):
     lights: LightData
     env: Environment
     bvh: BVHData
+    textures: "TextureStack"  # render/texture.py (4096-image bindless analog)
+    tri_features: jnp.ndarray  # f32 [T,10,4] Plucker blocks (ops/mxu.py)
 
 
 # ---------------------------------------------------------------------------

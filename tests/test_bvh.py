@@ -74,15 +74,23 @@ def test_cornell_render_bvh_equals_brute():
     view = camera.make_view(node.to_world(), cam.fovy, 48, 48)
     a = np.asarray(
         integrator.render_direct(
-            scene, view, integrator.RenderConfig(48, 48, use_bvh=True), 3
+            scene, view, integrator.RenderConfig(48, 48, tracer="bvh"), 3
         )
     )
     b = np.asarray(
         integrator.render_direct(
-            scene, view, integrator.RenderConfig(48, 48, use_bvh=False), 3
+            scene, view, integrator.RenderConfig(48, 48, tracer="brute"), 3
         )
     )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # the MXU tracer agrees to its (looser) arithmetic tolerance
+    c = np.asarray(
+        integrator.render_direct(
+            scene, view, integrator.RenderConfig(48, 48, tracer="mxu"), 3
+        )
+    )
+    mismatch = (np.abs(c - b) > 1e-3 * (1 + np.abs(b))).mean()
+    assert mismatch < 0.005, mismatch
 
 
 def test_morton_codes_order():

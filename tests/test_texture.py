@@ -1,0 +1,93 @@
+"""Texture stack tests: resampling, mips, bilinear filtering, LOD selection
+(reference behaviors: Image mip generation Core/Image.cpp:231, ImageValue
+ray-cone LOD image_value.h:81-97)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stratum_tpu.render import texture as stex
+
+
+def _stack_from(img, res=8):
+    return stex.build_texture_stack([img], res=res)
+
+
+def test_stack_shapes_and_mips():
+    img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+    st = _stack_from(img, res=8)
+    assert st.levels[0].shape == (1, 8, 8, 4)
+    assert st.levels[-1].shape == (1, 1, 1, 4)
+    assert len(st.levels) == 4
+    # each mip is the box average of the previous
+    l0 = np.asarray(st.levels[0], np.float32)
+    l1 = np.asarray(st.levels[1], np.float32)
+    manual = l0.reshape(1, 4, 2, 4, 2, 4).mean(axis=(2, 4))
+    np.testing.assert_allclose(l1, manual, atol=2e-3)
+
+
+def test_constant_texture_samples_exactly():
+    img = np.full((4, 4, 3), 0.25, np.float32)
+    st = _stack_from(img, res=4)
+    uv = jnp.asarray([[0.1, 0.7], [0.9, 0.2]], jnp.float32)
+    tid = jnp.asarray([0, 0], jnp.int32)
+    out = np.asarray(stex.sample_bilinear(st, tid, uv))
+    np.testing.assert_allclose(out[:, :3], 0.25, atol=1e-3)
+
+
+def test_missing_texture_is_white():
+    st = _stack_from(np.zeros((4, 4, 3), np.float32), res=4)
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    out = np.asarray(stex.sample_bilinear(st, jnp.asarray([-1]), uv))
+    np.testing.assert_allclose(out, 1.0)
+
+
+def test_bilinear_interpolates():
+    # 2x2 checker: sampling exactly between texel centers averages them
+    img = np.zeros((2, 2, 3), np.float32)
+    img[0, 1] = 1.0
+    img[1, 0] = 1.0
+    st = _stack_from(img, res=2)
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    out = np.asarray(
+        stex.sample_bilinear(st, jnp.asarray([0]), uv)
+    )
+    np.testing.assert_allclose(out[0, :3], 0.5, atol=1e-2)
+
+
+def test_lod_selection():
+    img = np.random.default_rng(1).random((32, 32, 3)).astype(np.float32)
+    st = _stack_from(img, res=16)
+    lod = stex.ray_cone_lod(st, jnp.asarray([0.0, 1.0 / 16.0, 0.5, 10.0]))
+    assert list(np.asarray(lod)) == [0, 0, 3, 4]
+    # top mip equals global mean
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    top = np.asarray(
+        stex.sample_bilinear(
+            st, jnp.asarray([0]), uv, jnp.asarray([len(st.levels) - 1])
+        )
+    )
+    l0 = np.asarray(st.levels[0], np.float32)
+    np.testing.assert_allclose(top[0, :3], l0[0, ..., :3].mean(axis=(0, 1)), atol=5e-3)
+
+
+def test_textured_material_modulation():
+    """End-to-end: a textured material modulates base_color through
+    apply_textures."""
+    from stratum_tpu.render.shading import apply_textures, load_material
+    from stratum_tpu.scene import schema
+
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:, :2] = [1.0, 0.0, 0.0]
+    img[:, 2:] = [0.0, 1.0, 0.0]
+    st = stex.build_texture_stack([img], res=4)
+    mats = schema.make_materials(
+        base_color=np.ones((1, 3), np.float32),
+        base_color_tex=np.asarray([0], np.int32),
+    )
+    rows = jnp.asarray([0, 0], jnp.int32)
+    mat = load_material(mats, rows)
+    uv = jnp.asarray([[0.12, 0.5], [0.87, 0.5]], jnp.float32)
+    out = apply_textures(mat, mats, st, rows, uv)
+    bc = np.asarray(out.base_color)
+    assert bc[0, 0] > 0.8 and bc[0, 1] < 0.2  # left = red
+    assert bc[1, 1] > 0.8 and bc[1, 0] < 0.2  # right = green
