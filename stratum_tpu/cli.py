@@ -135,6 +135,13 @@ def main(argv=None) -> int:
         img = sintegrator.render_path_progressive(scene, view, cfg, spp, seed)
     else:
         raise ValueError(f"unknown integrator {integrator_name!r}")
+    if opts.get_bool("denoise", False):
+        from stratum_tpu.render import aov as saov
+        from stratum_tpu.render import denoise as sdenoise
+
+        gbuf = saov.render_gbuffer(scene, view, view, cfg)
+        state = sdenoise.init_state(height, width)
+        state, img = sdenoise.denoise(state, img, gbuf)
     img = np.asarray(img)
     t_render = time.time() - t0
 

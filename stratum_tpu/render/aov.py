@@ -1,0 +1,84 @@
+"""AOV / G-buffer pass: first-hit geometry + demodulation data.
+
+TPU-native analog of the reference's ``sample_visibility`` G-buffer writes
+(src/Shaders/kernels/renderers/bdpt.hlsl:151-300): albedo, emission-included
+radiance split, VisibilityInfo (instance id + octahedral normal,
+scene.h:114-123), DepthInfo (z, dz — scene.h:124-128) and the prev-frame
+reprojected UV used by the temporal denoiser (motion transforms; static
+geometry means motion comes only from camera movement here — object motion
+transforms slot in once animated instances land).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from stratum_tpu.core import math as smath
+from stratum_tpu.core import transform as xform
+from stratum_tpu.render import camera as scamera
+from stratum_tpu.render.integrator import RenderConfig, _trace_fns
+from stratum_tpu.render.shading import (
+    apply_textures,
+    load_material,
+    make_shading_point,
+)
+from stratum_tpu.scene.schema import SceneData
+
+
+class GBuffer(NamedTuple):
+    """Per-pixel first-hit data, image-shaped [H, W, ...]."""
+
+    albedo: jnp.ndarray  # [H,W,3] base color at first hit (1 for miss)
+    normal: jnp.ndarray  # [H,W,3] shading normal (0 for miss)
+    depth: jnp.ndarray  # [H,W] camera-space hit distance (inf for miss)
+    instance: jnp.ndarray  # [H,W] instance id (-1 for miss)
+    prev_uv: jnp.ndarray  # [H,W,2] position in the PREVIOUS view, uv in [0,1]
+
+
+def render_gbuffer(
+    scene: SceneData, view, prev_view, cfg: RenderConfig
+) -> GBuffer:
+    """Trace pixel centers once and build the G-buffer. Uses pixel centers
+    (no jitter) so the buffers are stable across frames."""
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    jitter = jnp.full((px.shape[0], 2), 0.5, jnp.float32)
+    origin, direction = scamera.generate_rays(
+        view, px, py, jitter, cfg.width, cfg.height
+    )
+    trace_closest, _ = _trace_fns(scene, cfg)
+    hit = trace_closest(origin, direction)
+    sp = make_shading_point(scene.geo, hit.tri, hit.bary, direction)
+    mat = load_material(scene.materials, sp.material)
+    if scene.textures.resolution > 1:
+        mat = apply_textures(
+            mat, scene.materials, scene.textures, sp.material, sp.uv
+        )
+    h, w = cfg.height, cfg.width
+    miss = ~hit.hit
+    # emissive surfaces demodulate by 1 — their radiance is emission, not
+    # albedo-modulated reflection (the reference's demodulate-albedo option
+    # likewise only divides reflected light, temporal_accumulation.hlsl:112)
+    emissive = smath.luminance(mat.emission) > 0.0
+    albedo = jnp.where(
+        (miss | emissive)[..., None], 1.0, mat.base_color
+    )
+    normal = jnp.where(miss[..., None], 0.0, sp.shading_normal)
+    depth = jnp.where(miss, jnp.inf, hit.t)
+    instance = jnp.where(miss, -1, sp.instance)
+    pix, inside, _ = scamera.sensor_importance(
+        prev_view, sp.position, cfg.width, cfg.height
+    )
+    prev_uv = jnp.where(
+        (miss | ~inside)[..., None],
+        -1.0,
+        pix / jnp.asarray([cfg.width, cfg.height], jnp.float32),
+    )
+    return GBuffer(
+        albedo=albedo.reshape(h, w, 3),
+        normal=normal.reshape(h, w, 3),
+        depth=depth.reshape(h, w),
+        instance=instance.reshape(h, w),
+        prev_uv=prev_uv.reshape(h, w, 2),
+    )

@@ -77,7 +77,7 @@ def sensor_importance(view: ViewData, world_pos, width: int, height: int):
     p_cam = xform.transform_point(view.world_to_camera, world_pos)
     clip = xform.project_point(view.projection, p_cam)
     w = clip[..., 3]
-    ndc = clip[..., :2] / jnp.maximum(jnp.abs(w), 1e-20)
+    ndc = clip[..., :2] / jnp.maximum(jnp.abs(w), 1e-20)[..., None]
     in_front = w > 0
     inside = (
         in_front

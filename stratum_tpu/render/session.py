@@ -1,0 +1,131 @@
+"""RenderSession: the frame-loop state machine.
+
+TPU-native analog of the reference's Application frame loop + renderer state
+(src/Node/Application.cpp:7-88 run loop; BDPT per-frame resources
+BDPT.cpp:344-380; Denoiser accumulation reset on camera move,
+Denoiser.cpp:176-177). Offline-first: ``step()`` advances one progressive
+sample (or batch), optional SVGF denoising rides the current G-buffer, and
+the whole session state is a pytree — so checkpoint/resume of a progressive
+render is exact (accumulation buffer + RNG seed counter; SURVEY.md §5
+checkpoint strategy), something the reference cannot do at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from stratum_tpu.render import aov as saov
+from stratum_tpu.render import denoise as sdenoise
+from stratum_tpu.render import integrator as sintegrator
+from stratum_tpu.render import tonemap as stonemap
+
+
+@dataclasses.dataclass
+class RenderSession:
+    scene: object
+    view: object
+    cfg: sintegrator.RenderConfig
+    denoise: bool = False
+    denoise_cfg: sdenoise.DenoiseConfig = dataclasses.field(
+        default_factory=sdenoise.DenoiseConfig
+    )
+    mesh: object = None  # optional jax.sharding.Mesh for multi-chip
+
+    accum: jnp.ndarray = None  # [H,W,3] radiance sum
+    spp: int = 0
+    seed0: int = 0
+    prev_view: object = None
+    denoise_state: sdenoise.DenoiseState = None
+    _gbuffer: saov.GBuffer = None
+
+    def __post_init__(self):
+        h, w = self.cfg.height, self.cfg.width
+        if self.accum is None:
+            self.accum = jnp.zeros((h, w, 3), jnp.float32)
+        if self.prev_view is None:
+            self.prev_view = self.view
+        if self.denoise_state is None:
+            self.denoise_state = sdenoise.init_state(h, w)
+
+    # -- camera / scene changes -------------------------------------------
+    def set_view(self, view):
+        """Move the camera: restart accumulation, keep denoiser history for
+        reprojection (reference: accumulation reset on camera move,
+        Denoiser.cpp:176-177)."""
+        self.prev_view = self.view
+        self.view = view
+        self.accum = jnp.zeros_like(self.accum)
+        self.spp = 0
+        self._gbuffer = None
+
+    def reset(self):
+        """Full reset (reference: F5 behavior)."""
+        self.accum = jnp.zeros_like(self.accum)
+        self.spp = 0
+        self.denoise_state = sdenoise.init_state(
+            self.cfg.height, self.cfg.width
+        )
+        self._gbuffer = None
+
+    # -- stepping ----------------------------------------------------------
+    def gbuffer(self) -> saov.GBuffer:
+        if self._gbuffer is None:
+            self._gbuffer = saov.render_gbuffer(
+                self.scene, self.view, self.prev_view, self.cfg
+            )
+        return self._gbuffer
+
+    def step(self, samples: int = 1):
+        """Advance ``samples`` progressive samples; returns the current
+        (accumulated, not tonemapped) radiance estimate."""
+        for _ in range(samples):
+            if self.mesh is not None:
+                from stratum_tpu.parallel import mesh as pmesh
+
+                img = pmesh._render_sharded_jit(
+                    self.scene, self.view, self.cfg, self.seed0 + self.spp,
+                    self.mesh,
+                )
+            else:
+                img = sintegrator.render_path(
+                    self.scene, self.view, self.cfg, self.seed0 + self.spp
+                )
+            self.accum = self.accum + img
+            self.spp += 1
+        return self.radiance()
+
+    def radiance(self):
+        return self.accum / max(self.spp, 1)
+
+    def frame(self):
+        """One interactive-style frame: a progressive sample plus (optional)
+        SVGF. Returns the displayable radiance."""
+        img = self.step(1)
+        if self.denoise:
+            self.denoise_state, img = sdenoise.denoise(
+                self.denoise_state, self.radiance(), self.gbuffer(),
+                self.denoise_cfg,
+            )
+        return img
+
+    def tonemapped(self, mode=stonemap.TonemapMode.ACES, exposure=0.0):
+        return stonemap.tonemap(self.radiance(), mode, exposure)
+
+    # -- checkpoint / resume (SURVEY.md §5) --------------------------------
+    def save_checkpoint(self, path):
+        np.savez(
+            path,
+            accum=np.asarray(self.accum),
+            spp=self.spp,
+            seed0=self.seed0,
+        )
+
+    def load_checkpoint(self, path):
+        data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        self.accum = jnp.asarray(data["accum"])
+        self.spp = int(data["spp"])
+        self.seed0 = int(data["seed0"])
