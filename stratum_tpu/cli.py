@@ -133,6 +133,10 @@ def main(argv=None) -> int:
         img = sintegrator.render_direct_progressive(scene, view, cfg, spp, seed)
     elif integrator_name == "path":
         img = sintegrator.render_path_progressive(scene, view, cfg, spp, seed)
+    elif integrator_name == "lt":
+        from stratum_tpu.render import lighttrace
+
+        img = lighttrace.render_lt_progressive(scene, view, cfg, spp, seed)
     else:
         raise ValueError(f"unknown integrator {integrator_name!r}")
     if opts.get_bool("denoise", False):

@@ -65,7 +65,7 @@ def pcg4d(v):
 def rng_init(pixel_x, pixel_y, seed, offset=0):
     """Build state uint32[..., 4] from pixel coords, frame seed, start dim."""
     px = jnp.asarray(pixel_x, dtype=_U32)
-    py = jnp.asarray(pixel_y, dtype=_U32)
+    py = jnp.broadcast_to(jnp.asarray(pixel_y, dtype=_U32), px.shape)
     s = jnp.broadcast_to(jnp.asarray(seed, dtype=_U32), px.shape)
     o = jnp.broadcast_to(jnp.asarray(offset, dtype=_U32), px.shape)
     return jnp.stack([px, py, s, o], axis=-1)

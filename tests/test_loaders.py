@@ -1,0 +1,151 @@
+"""Mitsuba XML / serialized / PLY loader tests on synthetic assets
+(reference parity: load_mitsuba.cpp, load_serialized.cpp, assimp PLY)."""
+
+import numpy as np
+import pytest
+
+from stratum_tpu.scene import flatten
+from stratum_tpu.scene.graph import NodeGraph
+from stratum_tpu.scene.loaders.mitsuba import load_mitsuba, parse_spectrum
+from stratum_tpu.scene.loaders.ply import load_ply_mesh
+from stratum_tpu.scene.loaders.serialized import (
+    load_serialized_mesh,
+    write_serialized,
+)
+
+
+def test_parse_spectrum_forms():
+    np.testing.assert_allclose(parse_spectrum("0.5"), [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(parse_spectrum("0.1 0.2 0.3"), [0.1, 0.2, 0.3])
+    # flat spectrum integrates to a nearly-gray color with luminance ~v
+    rgb = parse_spectrum("400:1.0, 700:1.0")
+    assert rgb.shape == (3,)
+    lum = rgb @ np.asarray([0.2126, 0.7152, 0.0722])
+    assert lum == pytest.approx(1.0, rel=0.15)
+
+
+def test_serialized_roundtrip(tmp_path, rng_np):
+    pos = rng_np.random((10, 3)).astype(np.float32)
+    nrm = rng_np.random((10, 3)).astype(np.float32)
+    uv = rng_np.random((10, 2)).astype(np.float32)
+    idx = rng_np.integers(0, 10, (6, 3)).astype(np.int32)
+    p = tmp_path / "m.serialized"
+    write_serialized(p, pos, idx, nrm, uv)
+    pos2, nrm2, uv2, idx2 = load_serialized_mesh(p)
+    np.testing.assert_allclose(pos2, pos)
+    np.testing.assert_allclose(nrm2, nrm)
+    np.testing.assert_allclose(uv2, uv)
+    np.testing.assert_array_equal(idx2, idx)
+
+
+def test_ply_ascii(tmp_path):
+    p = tmp_path / "t.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+        "4 0 1 2 3\n"
+    )
+    pos, nrm, uv, idx = load_ply_mesh(p)
+    assert pos.shape == (4, 3)
+    assert idx.shape == (2, 3)  # quad fan-triangulated
+
+
+def test_ply_binary(tmp_path):
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\n"
+        "property list uchar uint vertex_indices\n"
+        "end_header\n"
+    ).encode()
+    body = pos.tobytes() + bytes([3]) + np.asarray([0, 1, 2], np.uint32).tobytes()
+    p = tmp_path / "b.ply"
+    p.write_bytes(header + body)
+    pos2, _, _, idx = load_ply_mesh(p)
+    np.testing.assert_allclose(pos2, pos)
+    np.testing.assert_array_equal(idx, [[0, 1, 2]])
+
+
+def test_mitsuba_scene(tmp_path):
+    xml = """<scene version="0.6.0">
+      <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="toWorld">
+          <lookat origin="0 1 -5" target="0 1 0" up="0 1 0"/>
+        </transform>
+      </sensor>
+      <bsdf type="diffuse" id="white">
+        <rgb name="reflectance" value="0.7 0.7 0.7"/>
+      </bsdf>
+      <bsdf type="roughconductor" id="metal">
+        <float name="alpha" value="0.04"/>
+      </bsdf>
+      <shape type="rectangle">
+        <ref id="white"/>
+        <transform name="toWorld">
+          <scale value="3"/>
+          <rotate x="1" angle="-90"/>
+        </transform>
+      </shape>
+      <shape type="sphere">
+        <float name="radius" value="0.5"/>
+        <ref id="metal"/>
+      </shape>
+      <shape type="rectangle">
+        <transform name="toWorld">
+          <translate y="3"/>
+          <rotate x="1" angle="90"/>
+        </transform>
+        <emitter type="area">
+          <rgb name="radiance" value="10 10 10"/>
+        </emitter>
+      </shape>
+      <emitter type="constant">
+        <rgb name="radiance" value="0.1 0.1 0.1"/>
+      </emitter>
+    </scene>"""
+    p = tmp_path / "scene.xml"
+    p.write_text(xml)
+    g = NodeGraph()
+    load_mitsuba(g.root, p)
+    scene, stats = flatten.flatten(g.root)
+    assert stats.num_lights == 2  # emissive rectangle
+    assert stats.num_instances == 3
+    # metallic sphere material present
+    met = np.asarray(scene.materials.metallic)
+    assert (met == 1.0).any()
+    rough = np.asarray(scene.materials.roughness)
+    assert np.any(np.isclose(rough, 0.2))  # sqrt(0.04)
+    # camera found
+    found = flatten.find_camera(g.root)
+    assert found is not None
+    c2w = found[0].to_world()
+    np.testing.assert_allclose(c2w[:, 3], [0, 1, -5], atol=1e-5)
+    # constant env present
+    em = np.asarray(scene.env.emission)
+    np.testing.assert_allclose(em.ravel()[0], 0.1, atol=1e-6)
+
+
+def test_mitsuba_dielectric(tmp_path):
+    xml = """<scene version="3.0.0">
+      <shape type="cube">
+        <bsdf type="dielectric">
+          <float name="intIOR" value="1.33"/>
+          <float name="extIOR" value="1.0"/>
+        </bsdf>
+      </shape>
+    </scene>"""
+    p = tmp_path / "d.xml"
+    p.write_text(xml)
+    g = NodeGraph()
+    load_mitsuba(g.root, p)
+    scene, _ = flatten.flatten(g.root)
+    assert np.asarray(scene.materials.transmission)[0] == 1.0
+    np.testing.assert_allclose(np.asarray(scene.materials.eta)[0], 1.33, rtol=1e-5)
