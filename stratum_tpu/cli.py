@@ -36,6 +36,8 @@ def build_scene(opts):
         return builtin.furnace()
     if name == "spheres":
         return builtin.material_spheres()
+    if name == "atrium":
+        return builtin.atrium()
     path = Path(name)
     if not path.exists():
         raise FileNotFoundError(f"scene {name!r} not found")
@@ -137,6 +139,10 @@ def main(argv=None) -> int:
         from stratum_tpu.render import lighttrace
 
         img = lighttrace.render_lt_progressive(scene, view, cfg, spp, seed)
+    elif integrator_name == "bdpt":
+        from stratum_tpu.render import bdpt as sbdpt
+
+        img = sbdpt.render_bdpt_progressive(scene, view, cfg, spp, seed)
     else:
         raise ValueError(f"unknown integrator {integrator_name!r}")
     if opts.get_bool("denoise", False):

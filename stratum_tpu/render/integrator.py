@@ -61,17 +61,23 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
     exact oracle used by tests."""
     from stratum_tpu.ops import bvh as sbvh
     from stratum_tpu.ops import mxu as smxu
+    from stratum_tpu.ops import packet as spacket
 
     geo = scene.geo
     tracer = cfg.tracer
     if tracer == "auto":
         tracer = (
-            "mxu" if geo.num_triangles <= MXU_TRI_THRESHOLD else "bvh"
+            "mxu" if geo.num_triangles <= MXU_TRI_THRESHOLD else "packet"
         )
     if tracer == "mxu":
         return (
             lambda o, d: smxu.intersect_mxu(o, d, scene.tri_features),
             lambda o, d, t: smxu.occluded_mxu(o, d, t, scene.tri_features),
+        )
+    if tracer == "packet":
+        return (
+            lambda o, d: spacket.packet_closest(scene.fat_bvh, o, d),
+            lambda o, d, t: spacket.packet_occluded(scene.fat_bvh, o, d, t),
         )
     if tracer == "bvh":
         return (

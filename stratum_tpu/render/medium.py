@@ -1,0 +1,242 @@
+"""Heterogeneous participating media: delta/ratio tracking on dense grids.
+
+TPU-native analog of the reference's volume stack: NanoVDB grids read
+in-kernel with majorant-based delta tracking
+(src/Shaders/materials/medium.hlsli:74-128 ``delta_track``), HG phase
+sampling (26-55), and volume instances as AABBs walked by the medium-aware
+trace loop (src/Shaders/common/intersection.hlsli:240-285).
+
+Dense-grid translation (SURVEY.md §7: "start with dense grids + majorant"):
+- every medium is resampled to a fixed-resolution density brick
+  [K, R, R, R] float16 with a per-medium majorant (root max);
+- free-flight sampling is Woodcock/delta tracking inside the medium's
+  world AABB with a bounded collision loop (``lax.scan`` over
+  MAX_NULL_COLLISIONS, the reference's gMaxNullCollisions cap);
+- shadow rays use single-sample ratio tracking for transmittance.
+
+All rays process all media slots densely (gVolumeCount is 8 in the
+reference, scene.h:27 — small); empty slots have majorant 0 = vacuum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from stratum_tpu.core import math as smath
+from stratum_tpu.core import rng as srng
+
+MAX_VOLUMES = 4
+GRID_RES = 64
+MAX_NULL_COLLISIONS = 64  # reference: gMaxNullCollisions
+
+
+class MediumData(NamedTuple):
+    """All volumes in the scene (dense bricks). Slot majorant 0 = unused."""
+
+    density: jnp.ndarray  # f16 [K, R, R, R] extinction sigma_t
+    albedo: jnp.ndarray  # f32 [K, 3] single-scattering albedo
+    g: jnp.ndarray  # f32 [K] HG anisotropy
+    box_lo: jnp.ndarray  # f32 [K, 3] world AABB
+    box_hi: jnp.ndarray  # f32 [K, 3]
+    majorant: jnp.ndarray  # f32 [K]
+
+    @property
+    def num_slots(self) -> int:
+        return self.majorant.shape[0]
+
+
+def empty_media() -> MediumData:
+    r = 1
+    return MediumData(
+        density=jnp.zeros((MAX_VOLUMES, r, r, r), jnp.float16),
+        albedo=jnp.ones((MAX_VOLUMES, 3), jnp.float32),
+        g=jnp.zeros((MAX_VOLUMES,), jnp.float32),
+        box_lo=jnp.zeros((MAX_VOLUMES, 3), jnp.float32),
+        box_hi=jnp.zeros((MAX_VOLUMES, 3), jnp.float32),
+        majorant=jnp.zeros((MAX_VOLUMES,), jnp.float32),
+    )
+
+
+def build_media(volumes: list) -> MediumData:
+    """volumes: list of dicts with density (numpy [Dz,Dy,Dx]), box_lo,
+    box_hi, albedo, g. Resampled to GRID_RES^3."""
+    if not volumes:
+        return empty_media()
+    k = MAX_VOLUMES
+    r = GRID_RES
+    density = np.zeros((k, r, r, r), np.float16)
+    albedo = np.ones((k, 3), np.float32)
+    g = np.zeros((k,), np.float32)
+    box_lo = np.zeros((k, 3), np.float32)
+    box_hi = np.zeros((k, 3), np.float32)
+    majorant = np.zeros((k,), np.float32)
+    for i, v in enumerate(volumes[:k]):
+        d = np.asarray(v["density"], np.float32)
+        zi = np.linspace(0, d.shape[0] - 1, r).astype(np.int32)
+        yi = np.linspace(0, d.shape[1] - 1, r).astype(np.int32)
+        xi = np.linspace(0, d.shape[2] - 1, r).astype(np.int32)
+        density[i] = d[zi][:, yi][:, :, xi].astype(np.float16)
+        albedo[i] = np.asarray(v.get("albedo", (1.0, 1.0, 1.0)), np.float32)
+        g[i] = float(v.get("g", 0.0))
+        box_lo[i] = np.asarray(v["box_lo"], np.float32)
+        box_hi[i] = np.asarray(v["box_hi"], np.float32)
+        majorant[i] = float(d.max())
+    return MediumData(
+        density=jnp.asarray(density),
+        albedo=jnp.asarray(albedo),
+        g=jnp.asarray(g),
+        box_lo=jnp.asarray(box_lo),
+        box_hi=jnp.asarray(box_hi),
+        majorant=jnp.asarray(majorant),
+    )
+
+
+def density_at(media: MediumData, slot, p):
+    """Nearest-cell density lookup for world points p [N,3] in slot's box
+    (the reference reads NanoVDB trees, medium.hlsli:57-71)."""
+    lo = media.box_lo[slot]
+    hi = media.box_hi[slot]
+    r = media.density.shape[1]
+    q = (p - lo) / jnp.maximum(hi - lo, 1e-9)
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+    idx = jnp.clip((q * r).astype(jnp.int32), 0, r - 1)
+    d = media.density[slot, idx[..., 2], idx[..., 1], idx[..., 0]].astype(
+        jnp.float32
+    )
+    return jnp.where(inside, d, 0.0)
+
+
+def hg_phase(g, cos_theta):
+    """Henyey-Greenstein phase function value (medium.hlsli:26-35)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return smath.INV_4PI * (1.0 - g * g) / jnp.maximum(
+        denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12
+    )
+
+
+def sample_hg(g, wo, u1, u2):
+    """Sample the HG phase about -wo (medium.hlsli:37-55). Returns (wi,
+    pdf)."""
+    safe_g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sq = (1.0 - safe_g * safe_g) / (1.0 - safe_g + 2.0 * safe_g * u1)
+    cos_t_aniso = (1.0 + safe_g * safe_g - sq * sq) / (2.0 * safe_g)
+    cos_t = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u1, cos_t_aniso)
+    sin_t = smath.safe_sqrt(1.0 - cos_t * cos_t)
+    phi = smath.TWO_PI * u2
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    wi = smath.to_world(local, -wo)
+    return wi, hg_phase(g, cos_t)
+
+
+def _segment_overlap(media, origin, direction, t_max):
+    """Per-slot [K] entry/exit of the ray segment with each volume box.
+    Returns (t0 [N,K], t1 [N,K]) clamped to [0, t_max]."""
+    inv_d = jnp.where(
+        jnp.abs(direction) > 1e-20, 1.0 / direction,
+        jnp.sign(direction) * 1e20 + 1e20,
+    )
+    o = origin[:, None, :]
+    iv = inv_d[:, None, :]
+    t0 = (media.box_lo[None] - o) * iv
+    t1 = (media.box_hi[None] - o) * iv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    tn = jnp.maximum(tn, 0.0)
+    tf = jnp.minimum(tf, t_max[:, None])
+    hit = (tn < tf) & (media.majorant[None] > 0)
+    return jnp.where(hit, tn, 0.0), jnp.where(hit, tf, 0.0)
+
+
+def sample_free_flight(media: MediumData, origin, direction, t_max, st):
+    """Delta-track through all volumes along [0, t_max]
+    (medium.hlsli:74-128). Assumes volumes don't overlap (the reference's
+    medium stack walks boundaries one at a time too).
+
+    Returns (t_scatter [N] (inf if none), slot [N], weight [N,3], st).
+    The returned weight folds albedo at the scatter event; transmittance
+    weighting for the no-scatter case is 1 (analog decision)."""
+    n = origin.shape[0]
+    t0s, t1s = _segment_overlap(media, origin, direction, t_max)
+    # process slots in entry order: for non-overlapping volumes, handle the
+    # nearest first; a lane that scatters keeps its result
+    order = jnp.argsort(jnp.where(t1s > t0s, t0s, jnp.inf), axis=1)
+    t_scatter = jnp.full((n,), jnp.inf, jnp.float32)
+    slot_out = jnp.full((n,), -1, jnp.int32)
+
+    for k in range(media.num_slots):
+        slot = order[:, k]
+        t0 = jnp.take_along_axis(t0s, slot[:, None], axis=1)[:, 0]
+        t1 = jnp.take_along_axis(t1s, slot[:, None], axis=1)[:, 0]
+        maj = media.majorant[slot]
+        active0 = (t1 > t0) & (maj > 0) & ~jnp.isfinite(t_scatter)
+
+        def step(carry, _):
+            t, alive, scat_t, st = carry
+            u, st = srng.next_floats(st, 2)
+            t_new = t - jnp.log(1.0 - u[:, 0]) / jnp.maximum(maj, 1e-9)
+            inside = t_new < t1
+            p = origin + direction * t_new[:, None]
+            dens = _density_multi(media, slot, p)
+            real = u[:, 1] < dens / jnp.maximum(maj, 1e-9)
+            scatter_now = alive & inside & real
+            scat_t = jnp.where(scatter_now, t_new, scat_t)
+            alive = alive & inside & ~real
+            return (t_new, alive, scat_t, st), None
+
+        init = (t0, active0, jnp.full((n,), jnp.inf, jnp.float32), st)
+        (t_end, alive, scat_t, st), _ = lax.scan(
+            step, init, None, length=MAX_NULL_COLLISIONS
+        )
+        newly = jnp.isfinite(scat_t) & ~jnp.isfinite(t_scatter)
+        t_scatter = jnp.where(newly, scat_t, t_scatter)
+        slot_out = jnp.where(newly, slot, slot_out)
+
+    weight = jnp.where(
+        jnp.isfinite(t_scatter)[:, None],
+        media.albedo[jnp.maximum(slot_out, 0)],
+        1.0,
+    )
+    return t_scatter, slot_out, weight, st
+
+
+def _density_multi(media, slot, p):
+    return density_at(media, slot, p)
+
+
+def transmittance(media: MediumData, origin, direction, t_max, st):
+    """Ratio-tracking transmittance along a shadow segment
+    (trace_visibility_ray's null-collision walk,
+    intersection.hlsli:192-239). Returns (T [N], st)."""
+    n = origin.shape[0]
+    t0s, t1s = _segment_overlap(media, origin, direction, t_max)
+    trans = jnp.ones((n,), jnp.float32)
+    for k in range(media.num_slots):
+        t0 = t0s[:, k]
+        t1 = t1s[:, k]
+        maj = media.majorant[k]
+        active0 = (t1 > t0) & (maj > 0)
+
+        def step(carry, _):
+            t, tr, alive, st = carry
+            u, st = srng.next_float(st)
+            t_new = t - jnp.log(1.0 - u) / jnp.maximum(maj, 1e-9)
+            inside = t_new < t1
+            p = origin + direction * t_new[:, None]
+            dens = density_at(media, jnp.full((n,), k, jnp.int32), p)
+            ratio = 1.0 - dens / jnp.maximum(maj, 1e-9)
+            tr = jnp.where(alive & inside, tr * jnp.maximum(ratio, 0.0), tr)
+            alive = alive & inside & (tr > 1e-5)
+            return (t_new, tr, alive, st), None
+
+        init = (t0, trans, active0, st)
+        (t_end, trans, alive, st), _ = lax.scan(
+            step, init, None, length=MAX_NULL_COLLISIONS
+        )
+    return trans, st

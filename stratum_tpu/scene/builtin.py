@@ -169,6 +169,87 @@ def material_spheres(stacks: int = 24, slices: int = 48) -> NodeGraph:
     return g
 
 
+def atrium(columns: int = 6, stacks: int = 24, slices: int = 48) -> NodeGraph:
+    """Sponza-class procedural benchmark scene (~260K triangles with the
+    defaults): a colonnaded atrium — floor, walls, two rows of columns
+    (dense spheres stacked into pillars), a vaulted arcade of boxes, an
+    emissive sky strip and an environment. No external assets needed, but
+    the triangle count, occlusion complexity and mixed materials match the
+    role Sponza plays in the reference benchmarks (BASELINE.json configs)."""
+    g = NodeGraph()
+    rngm = np.random.default_rng(7)
+    stone = Material(base_color=np.asarray([0.55, 0.5, 0.45], np.float32))
+    red_cloth = Material(base_color=np.asarray([0.5, 0.1, 0.08], np.float32))
+    brass = Material(
+        base_color=np.asarray([0.8, 0.6, 0.3], np.float32),
+        metallic=1.0,
+        roughness=0.35,
+    )
+
+    def add_mesh(name, pos, idx, mat, matrix=None):
+        n = g.root.add_child(name)
+        if matrix is not None:
+            n.make_component(TransformComponent(matrix=matrix))
+        n.make_component(MeshPrimitive(positions=pos, indices=idx, material=mat))
+
+    # hall: floor + side walls + far wall
+    hw, hh, hl = 12.0, 10.0, 40.0
+    add_mesh("floor", *_quad((-hw, 0, -hl), (-hw, 0, hl), (hw, 0, hl), (hw, 0, -hl)), stone)
+    add_mesh("wall_l", *_quad((-hw, 0, -hl), (-hw, hh, -hl), (-hw, hh, hl), (-hw, 0, hl)), stone)
+    add_mesh("wall_r", *_quad((hw, 0, -hl), (hw, 0, hl), (hw, hh, hl), (hw, hh, -hl)), stone)
+    add_mesh("wall_far", *_quad((-hw, 0, hl), (-hw, hh, hl), (hw, hh, hl), (hw, 0, hl)), stone)
+
+    # two colonnades of stacked-sphere pillars (the triangle mass)
+    from stratum_tpu.scene.flatten import tessellate_sphere
+
+    sph_pos, sph_nrm, sph_uv, sph_idx = tessellate_sphere(1.0, stacks, slices)
+    k = 0
+    for side in (-1.0, 1.0):
+        for i in range(columns):
+            z = -hl + (i + 0.5) * (2 * hl / columns)
+            for level in range(5):
+                m = np.eye(3, 4, dtype=np.float32)
+                r = 0.8 if level % 2 == 0 else 0.65
+                m[:, :3] *= r
+                m[:, 3] = (side * (hw - 2.0), 0.9 + level * 1.7, z)
+                mat = [stone, red_cloth, brass][k % 3]
+                k += 1
+                add_mesh(
+                    f"col_{side}_{i}_{level}",
+                    sph_pos, sph_idx, mat, matrix=m,
+                )
+
+    # arcade of boxes along the ceiling edges
+    for i in range(columns * 2):
+        z = -hl + (i + 0.5) * (hl / columns)
+        for side in (-1.0, 1.0):
+            pos, idx = _box((-1.2, 0, -1.2), (1.2, 0.8, 1.2))
+            m = np.eye(3, 4, dtype=np.float32)
+            m[:, 3] = (side * (hw - 2.0), hh - 1.2, z)
+            add_mesh(f"arch_{side}_{i}", pos, idx, stone, matrix=m)
+
+    # sky strip light down the middle of the ceiling
+    y = hh - 1e-2
+    add_mesh(
+        "sky_light",
+        *_quad((-3, y, -hl), (3, y, -hl), (3, y, hl), (-3, y, hl)),
+        Material(
+            base_color=np.zeros(3, np.float32),
+            emission=np.asarray([6.0, 6.5, 7.0], np.float32),
+        ),
+    )
+    env = g.root.add_child("env")
+    env.make_component(EnvironmentComponent(color=np.full(3, 0.05, np.float32)))
+
+    cam = g.root.add_child("camera")
+    from stratum_tpu.core import transform as xform
+
+    c2w = np.asarray(xform.look_at((0.0, 4.0, -hl + 2.0), (0.0, 4.0, hl)))
+    cam.make_component(TransformComponent(matrix=c2w))
+    cam.make_component(CameraComponent(fovy=np.radians(55.0)))
+    return g
+
+
 def furnace(
     albedo: float = 0.8, radiance: float = 0.5, stacks: int = 16, slices: int = 32
 ) -> NodeGraph:

@@ -260,8 +260,12 @@ def flatten(root: Node, env_probability: float = 0.5):
 
     bvh = build_bvh(geo.positions, geo.indices, geo.tri_material >= 0)
     from stratum_tpu.ops.mxu import build_tri_features
+    from stratum_tpu.ops.packet import build_fat_bvh
 
     tri_features = build_tri_features(
+        geo.positions, geo.indices, geo.tri_material >= 0
+    )
+    fat_bvh = build_fat_bvh(
         geo.positions, geo.indices, geo.tri_material >= 0
     )
     scene = schema.SceneData(
@@ -272,6 +276,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         bvh=bvh,
         textures=textures,
         tri_features=tri_features,
+        fat_bvh=fat_bvh,
     )
 
     stats.num_triangles = int(indices.shape[0])

@@ -1,0 +1,66 @@
+"""Packet (block x fat-leaf) traversal vs the brute-force oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stratum_tpu.ops import intersect, packet
+from tests.test_bvh import _random_rays, _random_tris
+
+
+@pytest.mark.parametrize("num_tris,leaf", [(50, 16), (500, 64), (2000, 64)])
+def test_packet_closest_matches_brute(rng_np, num_tris, leaf):
+    pos, idx = _random_tris(rng_np, num_tris)
+    o, d = _random_rays(rng_np, 1024)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=leaf)
+    hp = packet.packet_closest(fat, o, d, block=256, group=2)
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    tb, tr = np.asarray(hp.tri), np.asarray(hr.tri)
+    agree = (tb == tr).mean()
+    assert agree > 0.995, agree  # Plucker arithmetic may flip edge cases
+    both = (tb == tr) & (tr >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[both], np.asarray(hr.t)[both], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_packet_occluded_matches(rng_np):
+    pos, idx = _random_tris(rng_np, 400)
+    o, d = _random_rays(rng_np, 1024)
+    t_max = jnp.asarray((rng_np.random(1024) * 10).astype(np.float32))
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    op = np.asarray(packet.packet_occluded(fat, o, d, t_max, block=256, group=2))
+    ob = np.asarray(intersect.occluded_brute_force(o, d, t_max, pos, idx))
+    assert (op == ob).mean() > 0.995
+
+
+def test_packet_padding_and_small(rng_np):
+    pos, idx = _random_tris(rng_np, 10)
+    valid = jnp.asarray(np.arange(10) < 7)
+    fat = packet.build_fat_bvh(pos, idx, valid, leaf_size=4)
+    o, d = _random_rays(rng_np, 100)
+    hp = packet.packet_closest(fat, o, d, block=64, group=2)
+    assert (np.asarray(hp.tri) < 7).all()
+
+
+def test_packet_cornell_render_consistent():
+    """Direct-light Cornell via packet tracer matches the brute render."""
+    from stratum_tpu.render import camera, integrator
+    from stratum_tpu.scene import builtin, flatten
+
+    g = builtin.cornell_box()
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    view = camera.make_view(node.to_world(), cam.fovy, 48, 48)
+    a = np.asarray(
+        integrator.render_direct(
+            scene, view, integrator.RenderConfig(48, 48, tracer="packet"), 3
+        )
+    )
+    b = np.asarray(
+        integrator.render_direct(
+            scene, view, integrator.RenderConfig(48, 48, tracer="brute"), 3
+        )
+    )
+    mismatch = (np.abs(a - b) > 1e-3 * (1 + np.abs(b))).mean()
+    assert mismatch < 0.005, mismatch
