@@ -51,6 +51,40 @@ def pixel_grid(width: int, height: int):
     return px.reshape(-1), py.reshape(-1)
 
 
+def tile_dims(width: int, height: int, th: int = 32, tw: int = 64):
+    """Largest tile dims (<= th x tw) that evenly divide the image, or None
+    if the image is too small to tile."""
+    while th > 1 and height % th:
+        th //= 2
+    while tw > 1 and width % tw:
+        tw //= 2
+    if th * tw < 64:
+        return None
+    return th, tw
+
+
+def pixel_grid_tiled(width: int, height: int, th: int, tw: int):
+    """Pixel coords in tile-major order: consecutive lanes form compact
+    th x tw screen tiles, so fixed-size ray blocks get compact frusta (the
+    coherence the reference buys with its Morton thread remap,
+    bdpt_util.hlsli:76-83). Pure layout transform — zero data movement at
+    trace time, and the pixel-keyed RNG makes results identical to the
+    row-major order."""
+    px, py = pixel_grid(width, height)
+    px = px.reshape(height // th, th, width // tw, tw)
+    py = py.reshape(height // th, th, width // tw, tw)
+    px = jnp.transpose(px, (0, 2, 1, 3)).reshape(-1)
+    py = jnp.transpose(py, (0, 2, 1, 3)).reshape(-1)
+    return px, py
+
+
+def untile_image(flat, width: int, height: int, th: int, tw: int):
+    """Inverse of pixel_grid_tiled's ordering: [N, C] -> [H, W, C]."""
+    c = flat.shape[-1:]
+    img = flat.reshape((height // th, width // tw, th, tw) + c)
+    return jnp.transpose(img, (0, 2, 1, 3, 4)).reshape((height, width) + c)
+
+
 def generate_rays(view: ViewData, px, py, jitter, width: int, height: int):
     """Primary rays for pixel coords px/py [N] with subpixel jitter [N, 2] in
     [0,1). Returns (origin [N,3], direction [N,3]).

@@ -55,29 +55,42 @@ class RenderConfig:
 MXU_TRI_THRESHOLD = 16384
 
 
+def resolved_tracer(scene: SceneData, cfg: RenderConfig) -> str:
+    if cfg.tracer == "auto":
+        return (
+            "mxu"
+            if scene.geo.num_triangles <= MXU_TRI_THRESHOLD
+            else "packet"
+        )
+    return cfg.tracer
+
+
 def _trace_fns(scene: SceneData, cfg: RenderConfig):
     """Closest-hit / any-hit tracer pair. ``auto`` picks the MXU dense path
-    for small scenes and LBVH traversal for large ones; ``brute`` is the
+    for small scenes and packet traversal for large ones; ``brute`` is the
     exact oracle used by tests."""
     from stratum_tpu.ops import bvh as sbvh
     from stratum_tpu.ops import mxu as smxu
     from stratum_tpu.ops import packet as spacket
 
     geo = scene.geo
-    tracer = cfg.tracer
-    if tracer == "auto":
-        tracer = (
-            "mxu" if geo.num_triangles <= MXU_TRI_THRESHOLD else "packet"
-        )
+    tracer = resolved_tracer(scene, cfg)
     if tracer == "mxu":
         return (
             lambda o, d: smxu.intersect_mxu(o, d, scene.tri_features),
             lambda o, d, t: smxu.occluded_mxu(o, d, t, scene.tri_features),
         )
     if tracer == "packet":
+        # block size = one screen tile so block frusta stay compact
+        dims = scamera.tile_dims(cfg.width, cfg.height)
+        blk = max(512, min(dims[0] * dims[1] if dims else 2048, 4096))
         return (
-            lambda o, d: spacket.packet_closest(scene.fat_bvh, o, d),
-            lambda o, d, t: spacket.packet_occluded(scene.fat_bvh, o, d, t),
+            lambda o, d: spacket.packet_closest(
+                scene.fat_bvh, o, d, block=blk
+            ),
+            lambda o, d, t: spacket.packet_occluded(
+                scene.fat_bvh, o, d, t, block=blk
+            ),
         )
     if tracer == "bvh":
         return (
@@ -214,6 +227,11 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     bsdf_eval, bsdf_sample = _bsdf_fns(cfg)
     geo = scene.geo
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
+    # participating media are present iff the density brick is non-trivial
+    # (static shape check: empty_media uses a 1^3 brick)
+    has_media = scene.media.density.shape[1] > 1
+    if has_media:
+        from stratum_tpu.render import medium as smedium
     if px is None:
         px, py = scamera.pixel_grid(cfg.width, cfg.height)
     jitter, st = _ray_jitter(px, py, seed)
@@ -242,8 +260,23 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 mat, scene.materials, scene.textures, sp.material, sp.uv
             )
 
+        # -- media: delta-track the segment up to the surface hit ----------
+        # (reference: medium-aware trace loop, intersection.hlsli:240-285)
+        if has_media:
+            seg_end = jnp.where(hit.hit, hit.t, intersect.T_MAX * 0.5)
+            t_scat, m_slot, m_weight, st = smedium.sample_free_flight(
+                scene.media, origin, direction, seg_end, st
+            )
+            in_medium = alive & jnp.isfinite(t_scat)
+            m_pos = origin + direction * jnp.where(
+                in_medium, t_scat, 0.0
+            )[..., None]
+            m_g = scene.media.g[jnp.maximum(m_slot, 0)]
+        else:
+            in_medium = jnp.zeros_like(alive)
+
         # -- escaped rays: environment with MIS vs NEE ---------------------
-        miss = alive & ~hit.hit
+        miss = alive & ~hit.hit & ~in_medium
         env_le = slights.eval_environment(scene, direction)
         env_nee_pdf = slights.env_pdf_w_mis(scene, direction)
         if not cfg.use_nee:
@@ -261,7 +294,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         )
 
         # -- emissive hit with MIS vs NEE (eval_emission, path.hlsli:847-894)
-        is_emissive = alive & hit.hit & (sp.light >= 0) & sp.front_face
+        is_emissive = alive & hit.hit & (sp.light >= 0) & sp.front_face & ~in_medium
         dist2 = smath.length_squared(sp.position - origin)
         cos_light = jnp.abs(smath.dot(direction, sp.geom_normal))
         nee_pdf_area = slights.light_pdf_area(scene, hit.tri, sp.light)
@@ -283,7 +316,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             is_emissive[..., None], beta * mat.emission * w_emit[..., None], 0.0
         )
 
-        alive = alive & hit.hit
+        alive = (alive & hit.hit) | in_medium
         ns = sp.shading_normal
         wo_local = smath.to_local(-direction, ns)
         # relative IOR of the transmitted side: eta entering, 1/eta exiting
@@ -350,16 +383,27 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         throughput = bs.f * smath.safe_div(
             jnp.abs(bs.wi[..., 2]), bs.pdf_fwd
         )[..., None]
-        beta = beta * jnp.where(alive[..., None], throughput, 1.0)
-        alive = alive & (bs.pdf_fwd > 1e-12) & (jnp.max(beta, axis=-1) > 0.0)
-        offset_sign = jnp.sign(bs.wi[..., 2:3])
-        origin = jnp.where(
-            alive[..., None],
-            intersect.ray_offset(sp.position, sp.geom_normal * offset_sign),
-            origin,
+        new_origin = intersect.ray_offset(
+            sp.position, sp.geom_normal * jnp.sign(bs.wi[..., 2:3])
         )
+        pdf_next = bs.pdf_fwd
+        if has_media:
+            # medium continuation: HG-sample a new direction; phase/pdf = 1,
+            # throughput = single-scattering albedo
+            hg_dir, hg_pdf = smedium.sample_hg(
+                m_g, -direction, u[..., 0], u[..., 1]
+            )
+            new_dir = jnp.where(in_medium[..., None], hg_dir, new_dir)
+            throughput = jnp.where(
+                in_medium[..., None], m_weight, throughput
+            )
+            new_origin = jnp.where(in_medium[..., None], m_pos, new_origin)
+            pdf_next = jnp.where(in_medium, hg_pdf, pdf_next)
+        beta = beta * jnp.where(alive[..., None], throughput, 1.0)
+        alive = alive & (pdf_next > 1e-12) & (jnp.max(beta, axis=-1) > 0.0)
+        origin = jnp.where(alive[..., None], new_origin, origin)
         direction = jnp.where(alive[..., None], new_dir, direction)
-        prev_pdf_w = bs.pdf_fwd
+        prev_pdf_w = pdf_next
 
         # -- Russian roulette (path.hlsli:828-845) -------------------------
         u_rr, st = srng.next_float(st)
@@ -386,9 +430,22 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
 @partial(jax.jit, static_argnums=(2,))
 def render_path(scene: SceneData, view, cfg: RenderConfig, seed):
-    """Jitted single-sample path-traced image [H, W, 3]."""
-    rad, _ = trace_path(scene, view, cfg, seed)
-    return rad.reshape(cfg.height, cfg.width, 3)
+    """Jitted single-sample path-traced image [H, W, 3]. Under the packet
+    tracer, pixels are traced in compact screen tiles so ray blocks get
+    tight frusta; the layout transform is free and results are identical
+    (pixel-keyed RNG)."""
+    dims = (
+        scamera.tile_dims(cfg.width, cfg.height)
+        if resolved_tracer(scene, cfg) == "packet"
+        else None
+    )
+    if dims is None:
+        rad, _ = trace_path(scene, view, cfg, seed)
+        return rad.reshape(cfg.height, cfg.width, 3)
+    th, tw = dims
+    px, py = scamera.pixel_grid_tiled(cfg.width, cfg.height, th, tw)
+    rad, _ = trace_path(scene, view, cfg, seed, px, py)
+    return scamera.untile_image(rad, cfg.width, cfg.height, th, tw)
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -25,6 +25,7 @@ from stratum_tpu.scene import schema
 from stratum_tpu.scene.graph import (
     CameraComponent,
     EnvironmentComponent,
+    MediumComponent,
     MeshPrimitive,
     Node,
     SpherePrimitive,
@@ -150,6 +151,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         stats.instance_names.append(node.name)
 
     env_component: Optional[EnvironmentComponent] = None
+    media_list: list = []
     for node in root.descendants():
         mp = node.find(MeshPrimitive)
         if mp is not None:
@@ -161,6 +163,20 @@ def flatten(root: Node, env_probability: float = 0.5):
         ec = node.find(EnvironmentComponent)
         if ec is not None:
             env_component = ec
+        mc = node.find(MediumComponent)
+        if mc is not None:
+            m = node.to_world()
+            lo = m[:, :3] @ np.asarray(mc.box_lo, np.float32) + m[:, 3]
+            hi = m[:, :3] @ np.asarray(mc.box_hi, np.float32) + m[:, 3]
+            media_list.append(
+                dict(
+                    density=mc.density,
+                    box_lo=np.minimum(lo, hi),
+                    box_hi=np.maximum(lo, hi),
+                    albedo=mc.albedo,
+                    g=mc.g,
+                )
+            )
 
     if not all_pos:
         raise ValueError("scene contains no geometry")
@@ -268,6 +284,9 @@ def flatten(root: Node, env_probability: float = 0.5):
     fat_bvh = build_fat_bvh(
         geo.positions, geo.indices, geo.tri_material >= 0
     )
+    from stratum_tpu.render.medium import build_media
+
+    media = build_media(media_list)
     scene = schema.SceneData(
         geo=geo,
         materials=device_mats,
@@ -277,6 +296,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         textures=textures,
         tri_features=tri_features,
         fat_bvh=fat_bvh,
+        media=media,
     )
 
     stats.num_triangles = int(indices.shape[0])

@@ -201,6 +201,26 @@ class CameraComponent:
 
 
 @dataclasses.dataclass
+class MediumComponent:
+    """Heterogeneous participating medium in an axis-aligned world box
+    (reference: host Medium w/ NanoVDB grids, Node/Material.hpp:72-94;
+    loaders/load_volumes.cpp). ``density`` is sigma_t on a dense grid."""
+
+    density: np.ndarray  # [Dz, Dy, Dx] float32 extinction
+    box_lo: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float32)
+    )
+    box_hi: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
+    albedo: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
+    g: float = 0.0
+    node: Optional[Node] = None
+
+
+@dataclasses.dataclass
 class EnvironmentComponent:
     """Environment emission: constant color and/or equirect image
     (reference: Environment material, Shaders/environment.h)."""
