@@ -46,6 +46,8 @@ class RenderConfig:
     rr_min_beta: float = 0.05
     bsdf: str = "lambert"  # "lambert" | "disney"
     tracer: str = "auto"  # "auto" | "mxu" | "bvh" | "brute"
+    ris_candidates: int = 1  # >1 enables reservoir (RIS) NEE
+                             # (reference: eNEEReservoirs, bdpt.h + ReSTIR)
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -328,8 +330,94 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             )
         )
 
-        # -- NEE (connect_light, path.hlsli:310-366) -----------------------
-        if cfg.use_nee:
+        # -- NEE (connect_light, path.hlsli:310-366); with
+        # cfg.ris_candidates > 1 the candidate is reservoir-selected by its
+        # unshadowed contribution (RIS; reference: connect_light_reservoir,
+        # path.hlsli:367-487) and only the winner pays a shadow ray
+        if cfg.use_nee and cfg.ris_candidates > 1:
+            from stratum_tpu.core import reservoir as sres
+
+            n_lanes = origin.shape[0]
+            best = dict(
+                contrib=jnp.zeros((n_lanes, 3), jnp.float32),
+                wi=jnp.zeros((n_lanes, 3), jnp.float32),
+                dist=jnp.zeros((n_lanes,), jnp.float32),
+                pdf_w=jnp.zeros((n_lanes,), jnp.float32),
+            )
+            res = sres.init_reservoir(best, n_lanes)
+            for _m in range(cfg.ris_candidates):
+                u, st = srng.next_floats(st, 4)
+                ls = slights.sample_light(
+                    scene, u[..., 0], u[..., 1], u[..., 2]
+                )
+                to_light = jnp.where(
+                    ls.is_env[..., None], ls.position,
+                    ls.position - sp.position,
+                )
+                dist = jnp.where(
+                    ls.is_env, intersect.T_MAX * 0.5, smath.length(to_light)
+                )
+                wi = jnp.where(
+                    ls.is_env[..., None], ls.position,
+                    to_light / jnp.maximum(dist, 1e-20)[..., None],
+                )
+                cos_l = jnp.where(
+                    ls.is_env, 1.0,
+                    jnp.maximum(smath.dot(-wi, ls.normal), 0.0),
+                )
+                g = jnp.where(
+                    ls.is_env, 1.0, smath.safe_div(cos_l, dist * dist)
+                )
+                pdf_w = jnp.where(
+                    ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g)
+                )
+                wi_local = smath.to_local(wi, ns)
+                ev = bsdf_eval(mat, wo_local, wi_local)
+                c_m = (
+                    ev.f
+                    * ls.radiance
+                    * smath.safe_div(jnp.abs(wi_local[..., 2]), pdf_w)[..., None]
+                )
+                c_m = jnp.where((cos_l > 0)[..., None], c_m, 0.0)
+                p_hat = smath.luminance(c_m)
+                cand = dict(contrib=c_m, wi=wi, dist=dist, pdf_w=pdf_w)
+                res = sres.update(res, cand, p_hat, p_hat, u[..., 3])
+            w_ris = sres.contribution_weight(res)
+            kept = res.sample
+            wi = kept["wi"]
+            dist = kept["dist"]
+            w_nee = jnp.where(
+                jnp.asarray(cfg.use_mis),
+                mis_power_heuristic(
+                    kept["pdf_w"],
+                    bsdf_eval(mat, wo_local, smath.to_local(wi, ns)).pdf_fwd,
+                ),
+                1.0,
+            )
+            contrib = (
+                beta
+                * kept["contrib"]
+                * smath.safe_div(
+                    res.total_weight,
+                    res.m * jnp.maximum(res.target_pdf, 1e-20),
+                )[..., None]
+                * w_nee[..., None]
+            )
+            candidate = alive & (res.target_pdf > 0) & (
+                jnp.max(contrib, axis=-1) > 0
+            )
+            shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
+            occluded = trace_occluded(shadow_origin, wi, dist)
+            if has_media:
+                trans, st = smedium.transmittance(
+                    scene.media, shadow_origin, wi, dist, st
+                )
+                contrib = contrib * trans[..., None]
+            radiance = radiance + jnp.where(
+                (candidate & ~occluded)[..., None], contrib, 0.0
+            )
+            n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
+        elif cfg.use_nee:
             u, st = srng.next_floats(st, 3)
             ls = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
             to_light = jnp.where(

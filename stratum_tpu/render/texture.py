@@ -79,10 +79,13 @@ def _downsample2(level: np.ndarray) -> np.ndarray:
 
 
 def build_texture_stack(images: list, res: int = DEFAULT_RES) -> TextureStack:
-    """images: list of numpy [H,W,C] float32 linear. Empty list yields a
-    single white texture so the pytree keeps static shapes."""
+    """images: list of numpy [H,W,C] float32 linear. An empty list yields a
+    single 1x1 white sentinel — resolution 1 is the static "no textures"
+    signal integrators branch on."""
     if not images:
-        images = [np.ones((1, 1, 4), np.float32)]
+        return TextureStack(
+            levels=(jnp.ones((1, 1, 1, 4), jnp.float16),)
+        )
     base = np.stack([_area_resample(im, res) for im in images])
     levels = [base]
     while levels[-1].shape[1] > 1:

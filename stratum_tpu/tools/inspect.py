@@ -1,0 +1,84 @@
+"""Scene inspector: node tree + component/stat report as a CLI.
+
+TPU-native analog of the reference's ImGui Inspector
+(src/Node/Inspector.{hpp,cpp}: node-graph tree UI with per-component GUI
+callbacks) and the Scene stats panel (Node/Scene.cpp:284-297: instance /
+light / material counts). Offline: prints the tree, the flattened device
+buffers with shapes/bytes, materials and lights.
+
+Usage:
+    python -m stratum_tpu.tools.inspect --scene=cornell [--flatten]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _tree(node, depth=0, lines=None):
+    lines = [] if lines is None else lines
+    comps = ", ".join(type(c).__name__ for c in node.components.values())
+    lines.append(f"{'  ' * depth}{node.name}" + (f"  [{comps}]" if comps else ""))
+    for c in node.children:
+        _tree(c, depth + 1, lines)
+    return lines
+
+
+def main(argv=None) -> int:
+    from stratum_tpu.utils.flags import Options
+
+    opts = Options(sys.argv[1:] if argv is None else argv)
+    import jax
+
+    if not opts.has("tpu"):
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from stratum_tpu.cli import build_scene
+
+    g = build_scene(opts)
+    print("\n".join(_tree(g.root)))
+
+    if not opts.has("flatten"):
+        return 0
+    from stratum_tpu.scene import flatten as sflatten
+
+    scene, stats = sflatten.flatten(g.root)
+    print(
+        f"\ninstances {stats.num_instances}  triangles {stats.num_triangles}"
+        f"  vertices {stats.num_vertices}  materials {stats.num_materials}"
+        f"  lights {stats.num_lights}"
+    )
+    total = 0
+    print("\ndevice buffers:")
+    for leaf, path in zip(
+        jax.tree.leaves(scene),
+        jax.tree_util.tree_flatten_with_path(scene)[0],
+    ):
+        name = jax.tree_util.keystr(path[0])
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        if nbytes >= 1 << 16:
+            print(f"  {name:<55s} {str(leaf.shape):>18s} {nbytes / 1e6:8.2f} MB")
+    print(f"total device memory: {total / 1e6:.1f} MB")
+
+    print("\nmaterials:")
+    m = scene.materials
+    for i in range(int(m.num_materials)):
+        bc = np.asarray(m.base_color[i])
+        em = np.asarray(m.emission[i])
+        print(
+            f"  [{i}] base=({bc[0]:.2f},{bc[1]:.2f},{bc[2]:.2f})"
+            f" metal={float(m.metallic[i]):.2f}"
+            f" rough={float(m.roughness[i]):.2f}"
+            f" trans={float(m.transmission[i]):.2f}"
+            + (f" Le={em.max():.1f}" if em.max() > 0 else "")
+        )
+    nl = int(scene.lights.num_lights)
+    print(f"\nlights: {nl} emissive triangles, total power "
+          f"{float(np.asarray(scene.lights.power).sum()):.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
