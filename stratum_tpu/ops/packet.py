@@ -60,6 +60,64 @@ class FatBVH(NamedTuple):
         return self.leaf_tri.shape[1]
 
 
+def build_fat_bvh_sah(
+    positions, indices, valid_mask=None, leaf_size: int = DEFAULT_LEAF_SIZE
+) -> FatBVH | None:
+    """Fat leaves from the native binned-SAH builder (utils/native.py —
+    the counterpart of the reference's driver-side acceleration-structure
+    build, Core/AccelerationStructure.cpp). SAH leaves are spatially much
+    tighter than Morton-median groups, cutting candidate visits per ray
+    block. Returns None if the native library is unavailable."""
+    from stratum_tpu.utils.native import sah_order
+    from stratum_tpu.ops import mxu as smxu
+
+    pos_np = np.asarray(positions, np.float32)
+    idx_np = np.asarray(indices, np.int32)
+    num_tris = idx_np.shape[0]
+    valid_np = (
+        np.ones(num_tris, bool)
+        if valid_mask is None
+        else np.asarray(valid_mask)
+    )
+    vids = np.nonzero(valid_np)[0].astype(np.int32)
+    if len(vids) == 0:
+        return None
+    res = sah_order(pos_np, idx_np[vids], leaf_size)
+    if res is None:
+        return None
+    order, offsets = res
+    order = vids[order]
+    num_leaves = len(offsets) - 1
+    slots = np.full((num_leaves, leaf_size), -1, np.int32)
+    for l in range(num_leaves):
+        seg = order[offsets[l] : offsets[l + 1]]
+        slots[l, : len(seg)] = seg
+    flat = slots.reshape(-1)
+    gather = np.maximum(flat, 0)
+    p0 = pos_np[idx_np[gather, 0]]
+    p1 = pos_np[idx_np[gather, 1]]
+    p2 = pos_np[idx_np[gather, 2]]
+    ok = (flat >= 0)[:, None]
+    big = np.float32(3e37)
+    lo = np.where(ok, np.minimum(np.minimum(p0, p1), p2), big)
+    hi = np.where(ok, np.maximum(np.maximum(p0, p1), p2), -big)
+    leaf_lo = lo.reshape(num_leaves, leaf_size, 3).min(axis=1)
+    leaf_hi = hi.reshape(num_leaves, leaf_size, 3).max(axis=1)
+    feats = smxu.build_tri_features(
+        jnp.asarray(pos_np), jnp.asarray(idx_np),
+        jnp.asarray(valid_np),
+    )
+    leaf_feat = jnp.where(
+        (flat >= 0)[:, None, None], feats[jnp.asarray(gather)], 0.0
+    ).reshape(num_leaves, leaf_size, 10, 4)
+    return FatBVH(
+        leaf_lo=jnp.asarray(leaf_lo),
+        leaf_hi=jnp.asarray(leaf_hi),
+        leaf_feat=leaf_feat,
+        leaf_tri=jnp.asarray(slots),
+    )
+
+
 def build_fat_bvh(
     positions, indices, valid_mask=None, leaf_size: int = DEFAULT_LEAF_SIZE
 ) -> FatBVH:

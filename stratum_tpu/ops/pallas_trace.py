@@ -111,20 +111,21 @@ def _kernel(rays_ref, cand_hbm, centry_hbm, ncand_hbm, feat_hbm, out_ref,
             & (tt < best_t)
         )
         tt = jnp.where(valid, tt, T_MAX)
-        kbest = jnp.argmin(tt, axis=1, keepdims=True)  # [B, 1]
-        tk = jnp.take_along_axis(tt, kbest, axis=1)
+        # Mosaic has no general gather: select the per-ray argmin via a
+        # one-hot reduction instead of take_along_axis
+        kbest = jnp.argmin(tt, axis=1)  # [B]
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, tt.shape, 1) == kbest[:, None]
+        ).astype(tt.dtype)
+        tk = jnp.sum(tt * onehot, axis=1, keepdims=True)
+        uk = jnp.sum(uu * onehot, axis=1, keepdims=True)
+        vk = jnp.sum(vv * onehot, axis=1, keepdims=True)
         closer = tk < best_t
-        slot_id = (
-            cand_s[c] * k + kbest[:, 0]
-        ).astype(jnp.float32)[:, None]
+        slot_id = (cand_s[c] * k + kbest).astype(jnp.float32)[:, None]
         best_t = jnp.where(closer, tk, best_t)
         best_slot = jnp.where(closer, slot_id, best_slot)
-        best_u = jnp.where(
-            closer, jnp.take_along_axis(uu, kbest, axis=1), best_u
-        )
-        best_v = jnp.where(
-            closer, jnp.take_along_axis(vv, kbest, axis=1), best_v
-        )
+        best_u = jnp.where(closer, uk, best_u)
+        best_v = jnp.where(closer, vk, best_v)
         return nxt, best_t, best_slot, best_u, best_v
 
     state = (

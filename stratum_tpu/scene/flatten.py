@@ -276,14 +276,17 @@ def flatten(root: Node, env_probability: float = 0.5):
 
     bvh = build_bvh(geo.positions, geo.indices, geo.tri_material >= 0)
     from stratum_tpu.ops.mxu import build_tri_features
-    from stratum_tpu.ops.packet import build_fat_bvh
+    from stratum_tpu.ops.packet import build_fat_bvh, build_fat_bvh_sah
 
     tri_features = build_tri_features(
         geo.positions, geo.indices, geo.tri_material >= 0
     )
-    fat_bvh = build_fat_bvh(
-        geo.positions, geo.indices, geo.tri_material >= 0
-    )
+    # prefer the native SAH builder (tighter leaves); fall back to Morton
+    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0)
+    if fat_bvh is None:
+        fat_bvh = build_fat_bvh(
+            geo.positions, geo.indices, geo.tri_material >= 0
+        )
     from stratum_tpu.render.medium import build_media
 
     media = build_media(media_list)

@@ -64,3 +64,40 @@ def test_packet_cornell_render_consistent():
     )
     mismatch = (np.abs(a - b) > 1e-3 * (1 + np.abs(b))).mean()
     assert mismatch < 0.005, mismatch
+
+
+def test_sah_fat_bvh_matches_brute(rng_np):
+    """The native SAH builder produces a correct FatBVH (skips if g++ or the
+    native library is unavailable)."""
+    from stratum_tpu.ops.packet import build_fat_bvh_sah
+
+    pos, idx = _random_tris(rng_np, 700)
+    fat = build_fat_bvh_sah(pos, idx, leaf_size=32)
+    if fat is None:
+        pytest.skip("native SAH builder unavailable")
+    o, d = _random_rays(rng_np, 1024)
+    hp = packet.packet_closest(fat, o, d, block=256, group=2)
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    agree = (np.asarray(hp.tri) == np.asarray(hr.tri)).mean()
+    assert agree > 0.995, agree
+
+
+def test_sah_leaves_tighter_than_morton(rng_np):
+    """SAH leaves should have smaller total surface area than Morton groups
+    (the reason to pay for the native builder)."""
+    from stratum_tpu.ops.packet import build_fat_bvh_sah
+
+    pos, idx = _random_tris(rng_np, 2000, spread=10.0)
+    sah = build_fat_bvh_sah(pos, idx, leaf_size=64)
+    if sah is None:
+        pytest.skip("native SAH builder unavailable")
+    mor = packet.build_fat_bvh(pos, idx, leaf_size=64)
+
+    def area(fat):
+        d = np.maximum(np.asarray(fat.leaf_hi) - np.asarray(fat.leaf_lo), 0)
+        valid = d[:, 0] < 1e30
+        return (
+            2 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0])
+        )[valid].sum()
+
+    assert area(sah) < area(mor) * 1.05
