@@ -27,7 +27,12 @@ from stratum_tpu.core import rng as srng
 from stratum_tpu.ops import intersect
 from stratum_tpu.render import camera as scamera
 from stratum_tpu.render import lights as slights
-from stratum_tpu.render.shading import apply_textures, load_material, make_shading_point
+from stratum_tpu.render.shading import (
+    apply_normal_map,
+    apply_textures,
+    load_material,
+    make_shading_point,
+)
 from stratum_tpu.scene.schema import SceneData
 
 
@@ -245,21 +250,39 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     beta = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     prev_pdf_w = jnp.full((n,), -1.0, jnp.float32)  # <0 => delta/camera vertex
+    # ray-cone state: accumulated path length; the per-pixel spread angle
+    # drives texture mip selection (reference: RayDifferential + ray-cone
+    # LOD, path.hlsli:224-244, image_value.h:81-97)
+    cone_dist = jnp.zeros((n,), jnp.float32)
+    cone_angle = 2.0 * jnp.tan(view.projection.vertical_fov * 0.5) / cfg.height
     # ray counters (reference: atomic total/shadow counters ->
     # rays/sec display, Node/BDPT.cpp:197-202, 385-391)
     n_rays = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32)
 
     def bounce(carry, _):
-        origin, direction, beta, radiance, alive, prev_pdf_w, st, depth, n_rays = carry
+        (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
+         n_rays, cone_dist) = carry
         n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
         hit = trace_closest(origin, direction)
         sp = make_shading_point(geo, hit.tri, hit.bary, direction)
         mat = load_material(scene.materials, sp.material)
-        # texture modulation (static no-op for untextured scenes: the
-        # sentinel stack has resolution 1)
+        # texture modulation with ray-cone mip LOD (static no-op for
+        # untextured scenes: the sentinel stack has resolution 1)
         if scene.textures.resolution > 1:
+            from stratum_tpu.render import texture as stex
+
+            cone_dist = cone_dist + jnp.where(hit.hit & alive, hit.t, 0.0)
+            footprint = cone_dist * cone_angle * jnp.sqrt(
+                jnp.maximum(sp.uv_area, 0.0)
+            )
+            lod = stex.ray_cone_lod(scene.textures, footprint)
             mat = apply_textures(
-                mat, scene.materials, scene.textures, sp.material, sp.uv
+                mat, scene.materials, scene.textures, sp.material, sp.uv, lod
+            )
+            sp = sp._replace(
+                shading_normal=apply_normal_map(
+                    sp, scene.materials, scene.textures, lod
+                )
             )
 
         # -- media: delta-track the segment up to the surface hit ----------
@@ -505,12 +528,12 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
         return (
             origin, direction, beta, radiance, alive, prev_pdf_w, st,
-            depth + 1, n_rays,
+            depth + 1, n_rays, cone_dist,
         ), None
 
     carry = (
         origin, direction, beta, radiance, alive, prev_pdf_w, st,
-        jnp.asarray(0), n_rays,
+        jnp.asarray(0), n_rays, cone_dist,
     )
     carry, _ = lax.scan(bounce, carry, None, length=cfg.max_bounces + 1)
     return carry[3], carry[8]

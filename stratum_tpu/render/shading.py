@@ -28,6 +28,8 @@ class ShadingPoint(NamedTuple):
     instance: jnp.ndarray  # i32 [N]
     front_face: jnp.ndarray  # bool [N] true if ray hit the front side
     area: jnp.ndarray  # f32 [N] triangle area (for pdf conversions)
+    tangent: jnp.ndarray  # f32 [N,3] uv-aligned tangent (normal mapping)
+    uv_area: jnp.ndarray  # f32 [N] uv area per world area (ray-cone LOD)
 
 
 def make_shading_point(
@@ -59,6 +61,26 @@ def make_shading_point(
     t1 = geo.uvs[idx[..., 1]]
     t2 = geo.uvs[idx[..., 2]]
     uv = w * t0 + u * t1 + v * t2
+    # uv-space tangent (dP/du) for normal mapping
+    # (reference: dPdu/dPdv construction, shading_data.hlsli:2-63)
+    duv1 = t1 - t0
+    duv2 = t2 - t0
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    inv_det = smath.safe_div(1.0, det)
+    tangent = (
+        e1 * (duv2[..., 1] * inv_det)[..., None]
+        - e2 * (duv1[..., 1] * inv_det)[..., None]
+    )
+    # degenerate uvs: fall back to any frame
+    t_fallback, _ = smath.make_orthonormal(ns)
+    tangent = jnp.where(
+        (jnp.abs(det) > 1e-12)[..., None],
+        smath.normalize(tangent),
+        t_fallback,
+    )
+    # uv area per world area: sqrt drives the ray-cone mip LOD
+    # (uv_screen_size, shading_data.h:10-37)
+    uv_area = smath.safe_div(jnp.abs(det) * 0.5, jnp.maximum(area, 1e-20))
     front = smath.dot(direction, ng) < 0.0
     sign = jnp.where(front, 1.0, -1.0)[..., None]
     return ShadingPoint(
@@ -71,7 +93,33 @@ def make_shading_point(
         instance=jnp.where(tri >= 0, geo.tri_instance[safe_tri], -1),
         front_face=front,
         area=area,
+        tangent=tangent,
+        uv_area=uv_area,
     )
+
+
+def apply_normal_map(sp: ShadingPoint, materials, textures, lod=None):
+    """Perturb the shading normal by the material's tangent-space normal map
+    with tangent re-orthonormalization (reference: DisneyMaterial::load
+    bump path, disney_material.hlsli:46-79). Returns the new shading normal
+    (unchanged where no normal texture)."""
+    from stratum_tpu.render import texture as stex
+
+    r = jnp.maximum(sp.material, 0)
+    tex_id = materials.normal_tex[r]
+    nm = stex.sample_bilinear(textures, tex_id, sp.uv, lod)
+    n_ts = smath.normalize(nm[..., :3] * 2.0 - 1.0)
+    n = sp.shading_normal
+    # Gram-Schmidt the tangent against the (possibly interpolated) normal
+    t = smath.normalize(
+        sp.tangent - n * smath.dotk(sp.tangent, n)
+    )
+    b = jnp.cross(n, t)
+    n_new = smath.normalize(
+        t * n_ts[..., 0:1] + b * n_ts[..., 1:2] + n * n_ts[..., 2:3]
+    )
+    has_map = tex_id >= 0
+    return jnp.where(has_map[..., None], n_new, n)
 
 
 class MaterialSample(NamedTuple):

@@ -91,3 +91,49 @@ def test_textured_material_modulation():
     bc = np.asarray(out.base_color)
     assert bc[0, 0] > 0.8 and bc[0, 1] < 0.2  # left = red
     assert bc[1, 1] > 0.8 and bc[1, 0] < 0.2  # right = green
+
+
+def test_normal_mapping_perturbs():
+    """A tangent-space normal map tilts shading normals; a flat (0.5,0.5,1)
+    map leaves them unchanged (reference: disney_material.hlsli:46-79)."""
+    import jax.numpy as jnp
+
+    from stratum_tpu.render.shading import apply_normal_map, make_shading_point
+    from stratum_tpu.scene import flatten as sflatten
+    from stratum_tpu.scene import schema
+    from stratum_tpu.scene.graph import MeshPrimitive, NodeGraph
+    from stratum_tpu.scene.material import Material
+
+    flat = np.full((4, 4, 3), [0.5, 0.5, 1.0], np.float32)
+    tilted = np.full((4, 4, 3), [1.0, 0.5, 1.0], np.float32)  # +x tilt
+    for img, expect_change in ((flat, False), (tilted, True)):
+        g = NodeGraph()
+        n = g.root.add_child("quad")
+        n.make_component(
+            MeshPrimitive(
+                positions=np.asarray(
+                    [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+                ),
+                indices=np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+                uvs=np.asarray(
+                    [[0, 0], [1, 0], [1, 1], [0, 1]], np.float32
+                ),
+                material=Material(normal_image=img),
+            )
+        )
+        scene, _ = sflatten.flatten(g.root)
+        sp = make_shading_point(
+            scene.geo,
+            jnp.asarray([0]),
+            jnp.asarray([[0.3, 0.3]], jnp.float32),
+            jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32),
+        )
+        n_new = np.asarray(
+            apply_normal_map(sp, scene.materials, scene.textures)
+        )[0]
+        n_old = np.asarray(sp.shading_normal)[0]
+        if expect_change:
+            assert np.abs(n_new - n_old).max() > 0.1
+            np.testing.assert_allclose(np.linalg.norm(n_new), 1.0, atol=1e-4)
+        else:
+            np.testing.assert_allclose(n_new, n_old, atol=0.02)
