@@ -153,10 +153,10 @@ def _run_blocks(rays, cand, centry, ncand, leaf_feat, interpret=False,
         in_specs=[
             pl.BlockSpec((1, block, 16), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cand [nb, C] (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # centry [nb, C]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ncand [nb, 1]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # leaf features
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cand [nb, C]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # centry [nb, C]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ncand [nb, 1]
+            pl.BlockSpec(memory_space=pltpu.HBM),  # leaf features
         ],
         out_specs=pl.BlockSpec((1, block, 4), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
