@@ -107,6 +107,14 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     g = build_scene(opts)
+    # plugins: python modules with a register(graph, opts) hook
+    # (reference: dynamic_library plugin loading, src/main.cpp:11-24)
+    for plug in opts.find_all("plugin"):
+        import importlib
+
+        mod = importlib.import_module(plug)
+        if hasattr(mod, "register"):
+            mod.register(g, opts)
     scene, stats = sflatten.flatten(g.root)
     lo = np.asarray(scene.geo.positions).min(axis=0)
     hi = np.asarray(scene.geo.positions).max(axis=0)
@@ -157,8 +165,14 @@ def main(argv=None) -> int:
 
     mode = stonemap.TonemapMode(opts.get_str("tonemap", "raw"))
     out = opts.get_str("out", "render.png")
+    exposure = opts.get_float("exposure", 0.0)
+    if opts.get_bool("autoexposure", False):
+        # normalize by the frame max (reference: tonemap reduce_max +
+        # exposure EMA, tonemap.hlsl:105-181)
+        max_c, _ = stonemap.reduce_max_color(img)
+        exposure = exposure - float(np.log2(max(float(max_c), 1e-4)))
     display = np.asarray(
-        stonemap.tonemap(img, mode, exposure=opts.get_float("exposure", 0.0))
+        stonemap.tonemap(img, mode, exposure=exposure)
     )
     save_image(out, display if out.endswith(".png") else img)
 
