@@ -48,26 +48,32 @@ def pack_leaf_features(fat) -> jnp.ndarray:
     return jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
 
 
-def _kernel(rays_ref, cand_hbm, centry_hbm, ncand_hbm, feat_hbm, out_ref,
-            buf, dsem, cand_s, centry_s, ncand_s, csem):
+def _kernel(ncand_sp, rays_ref, cand_hbm, centry_hbm, feat_hbm, out_ref,
+            buf, dsem, cand_s, centry_s, csem):
     b = pl.program_id(0)
-    # stage this block's candidate metadata into SMEM
+    # stage this block's candidate metadata into SMEM. The arrays are packed
+    # [nb, 8, C8] (element c at row c%8, col c//8) so the per-block slice is
+    # tile-aligned (Mosaic: sublane slices must be multiples of 8).
     pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).start()
     pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).start()
-    pltpu.make_async_copy(ncand_hbm.at[b], ncand_s, csem.at[2]).start()
     pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).wait()
     pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).wait()
-    pltpu.make_async_copy(ncand_hbm.at[b], ncand_s, csem.at[2]).wait()
-    n_cand = ncand_s[0]
+    n_cand = ncand_sp[b]
     rays = rays_ref[0]  # [B, 16]
     t_max = rays_ref[0, :, 10:11]  # [B, 1]
     B = rays.shape[0]
     k4 = buf.shape[2]
     k = k4 // 4
 
+    def cand_at(c):
+        return cand_s[lax.rem(c, 8), c // 8]
+
+    def centry_at(c):
+        return centry_s[lax.rem(c, 8), c // 8]
+
     def dma(slot, c):
         return pltpu.make_async_copy(
-            feat_hbm.at[cand_s[c]], buf.at[slot], dsem.at[slot]
+            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
         )
 
     @pl.when(n_cand > 0)
@@ -76,7 +82,7 @@ def _kernel(rays_ref, cand_hbm, centry_hbm, ncand_hbm, feat_hbm, out_ref,
 
     def cond(state):
         c, best_t, _, _, _ = state
-        return (c < n_cand) & (centry_s[c] < jnp.max(best_t))
+        return (c < n_cand) & (centry_at(c) < jnp.max(best_t))
 
     def body(state):
         c, best_t, best_slot, best_u, best_v = state
@@ -121,7 +127,7 @@ def _kernel(rays_ref, cand_hbm, centry_hbm, ncand_hbm, feat_hbm, out_ref,
         uk = jnp.sum(uu * onehot, axis=1, keepdims=True)
         vk = jnp.sum(vv * onehot, axis=1, keepdims=True)
         closer = tk < best_t
-        slot_id = (cand_s[c] * k + kbest).astype(jnp.float32)[:, None]
+        slot_id = (cand_at(c) * k + kbest).astype(jnp.float32)[:, None]
         best_t = jnp.where(closer, tk, best_t)
         best_slot = jnp.where(closer, slot_id, best_slot)
         best_u = jnp.where(closer, uk, best_u)
@@ -141,37 +147,49 @@ def _kernel(rays_ref, cand_hbm, centry_hbm, ncand_hbm, feat_hbm, out_ref,
     )
 
 
+def _pack8(arr, fill):
+    """[nb, C] -> [nb, 8, ceil(C8)] with element c at (c%8, c//8)."""
+    nb, c = arr.shape
+    c8 = -(-c // 8)
+    arr = jnp.pad(arr, ((0, 0), (0, c8 * 8 - c)), constant_values=fill)
+    return jnp.transpose(arr.reshape(nb, c8, 8), (0, 2, 1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "block")
 )
 def _run_blocks(rays, cand, centry, ncand, leaf_feat, interpret=False,
                 block=BLOCK):
     nb, c_max = cand.shape
+    cand8 = _pack8(cand, 0)
+    centry8 = _pack8(centry, jnp.float32(3.0e38))
+    c8 = cand8.shape[2]
     return pl.pallas_call(
         _kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, block, 16), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # cand [nb, C]
-            pl.BlockSpec(memory_space=pltpu.HBM),  # centry [nb, C]
-            pl.BlockSpec(memory_space=pltpu.HBM),  # ncand [nb, 1]
-            pl.BlockSpec(memory_space=pltpu.HBM),  # leaf features
-        ],
-        out_specs=pl.BlockSpec((1, block, 4), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2,) + leaf_feat.shape[1:], jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((cand.shape[1],), jnp.int32),
-            pltpu.SMEM((centry.shape[1],), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, block, 16), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # cand8 [nb, 8, C8]
+                pl.BlockSpec(memory_space=pltpu.HBM),  # centry8 [nb, 8, C8]
+                pl.BlockSpec(memory_space=pltpu.HBM),  # leaf features
+            ],
+            out_specs=pl.BlockSpec((1, block, 4), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2,) + leaf_feat.shape[1:], jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((8, c8), jnp.int32),
+                pltpu.SMEM((8, c8), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((nb, block, 4), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rays, cand, centry, ncand, leaf_feat)
+    )(ncand.reshape(-1), rays, cand8, centry8, leaf_feat)
 
 
 def _prepare(fat, origin, direction, t_min, t_max, block):

@@ -87,6 +87,19 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
             lambda o, d: smxu.intersect_mxu(o, d, scene.tri_features),
             lambda o, d, t: smxu.occluded_mxu(o, d, t, scene.tri_features),
         )
+    if tracer == "pallas":
+        from stratum_tpu.ops import pallas_trace as spallas
+
+        dims = scamera.tile_dims(cfg.width, cfg.height)
+        blk = max(512, min(dims[0] * dims[1] if dims else 2048, 2048))
+        return (
+            lambda o, d: spallas.pallas_closest(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, block=blk
+            ),
+            lambda o, d, t: spallas.pallas_occluded(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk
+            ),
+        )
     if tracer == "packet":
         # block size = one screen tile so block frusta stay compact
         dims = scamera.tile_dims(cfg.width, cfg.height)

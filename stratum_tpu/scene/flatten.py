@@ -288,8 +288,10 @@ def flatten(root: Node, env_probability: float = 0.5):
             geo.positions, geo.indices, geo.tri_material >= 0
         )
     from stratum_tpu.render.medium import build_media
+    from stratum_tpu.ops.pallas_trace import pack_leaf_features
 
     media = build_media(media_list)
+    leaf_feat_packed = pack_leaf_features(fat_bvh)
     scene = schema.SceneData(
         geo=geo,
         materials=device_mats,
@@ -299,6 +301,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         textures=textures,
         tri_features=tri_features,
         fat_bvh=fat_bvh,
+        leaf_feat_packed=leaf_feat_packed,
         media=media,
     )
 

@@ -124,6 +124,7 @@ class SceneData(NamedTuple):
     textures: "TextureStack"  # render/texture.py (4096-image bindless analog)
     tri_features: jnp.ndarray  # f32 [T,10,4] Plucker blocks (ops/mxu.py)
     fat_bvh: "FatBVH"  # ops/packet.py block-traversal structure
+    leaf_feat_packed: jnp.ndarray  # f32 [L,16,4K] Pallas DMA slabs
     media: "MediumData"  # render/medium.py volume stack (gVolumeCount analog)
 
 

@@ -101,3 +101,25 @@ def test_sah_leaves_tighter_than_morton(rng_np):
         )[valid].sum()
 
     assert area(sah) < area(mor) * 1.05
+
+
+def test_pallas_tracer_interpret(rng_np):
+    """The Pallas traversal kernel agrees with the oracle (interpret mode on
+    CPU; the compiled path is exercised on TPU by bench/driver runs)."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 400)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat)
+    o, d = _random_rays(rng_np, 512)
+    hp = pallas_trace.pallas_closest(fat, feat, o, d, block=256, interpret=True)
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    agree = (np.asarray(hp.tri) == np.asarray(hr.tri)).mean()
+    assert agree > 0.995, agree
+    t_max = jnp.asarray((rng_np.random(512) * 10).astype(np.float32))
+    op = np.asarray(
+        pallas_trace.pallas_occluded(fat, feat, o, d, t_max, block=256,
+                                     interpret=True)
+    )
+    ob = np.asarray(intersect.occluded_brute_force(o, d, t_max, pos, idx))
+    assert (op == ob).mean() > 0.995
