@@ -148,9 +148,11 @@ def _kernel(ncand_sp, rays_ref, cand_hbm, centry_hbm, feat_hbm, out_ref,
 
 
 def _pack8(arr, fill):
-    """[nb, C] -> [nb, 8, ceil(C8)] with element c at (c%8, c//8)."""
+    """[nb, C] -> [nb, 8, C8] with element c at (c%8, c//8); C8 is padded to
+    a multiple of 128 so HBM slices stay lane-tile aligned."""
     nb, c = arr.shape
     c8 = -(-c // 8)
+    c8 = -(-c8 // 128) * 128
     arr = jnp.pad(arr, ((0, 0), (0, c8 * 8 - c)), constant_values=fill)
     return jnp.transpose(arr.reshape(nb, c8, 8), (0, 2, 1))
 

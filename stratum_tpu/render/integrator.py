@@ -53,6 +53,10 @@ class RenderConfig:
     tracer: str = "auto"  # "auto" | "mxu" | "bvh" | "brute"
     ris_candidates: int = 1  # >1 enables reservoir (RIS) NEE
                              # (reference: eNEEReservoirs, bdpt.h + ReSTIR)
+    sort_rays: bool = False  # re-sort the wavefront by (octant, morton)
+                             # each bounce: block coherence for packet/pallas
+                             # tracers (reference: eRemapThreads/coherent-
+                             # sampling ideas, bdpt_util.hlsli:76-83)
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -84,7 +88,9 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
     tracer = resolved_tracer(scene, cfg)
     if tracer == "mxu":
         return (
-            lambda o, d: smxu.intersect_mxu(o, d, scene.tri_features),
+            lambda o, d, tm=None: smxu.intersect_mxu(
+                o, d, scene.tri_features, t_max=tm
+            ),
             lambda o, d, t: smxu.occluded_mxu(o, d, t, scene.tri_features),
         )
     if tracer == "pallas":
@@ -93,8 +99,9 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
         dims = scamera.tile_dims(cfg.width, cfg.height)
         blk = max(512, min(dims[0] * dims[1] if dims else 2048, 2048))
         return (
-            lambda o, d: spallas.pallas_closest(
-                scene.fat_bvh, scene.leaf_feat_packed, o, d, block=blk
+            lambda o, d, tm=None: spallas.pallas_closest(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
+                block=blk,
             ),
             lambda o, d, t: spallas.pallas_occluded(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk
@@ -105,8 +112,8 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
         dims = scamera.tile_dims(cfg.width, cfg.height)
         blk = max(512, min(dims[0] * dims[1] if dims else 2048, 4096))
         return (
-            lambda o, d: spacket.packet_closest(
-                scene.fat_bvh, o, d, block=blk
+            lambda o, d, tm=None: spacket.packet_closest(
+                scene.fat_bvh, o, d, t_max=tm, block=blk
             ),
             lambda o, d, t: spacket.packet_occluded(
                 scene.fat_bvh, o, d, t, block=blk
@@ -114,13 +121,15 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
         )
     if tracer == "bvh":
         return (
-            lambda o, d: sbvh.traverse_closest(scene.bvh, o, d),
+            lambda o, d, tm=None: sbvh.traverse_closest(
+                scene.bvh, o, d, t_max=tm
+            ),
             lambda o, d, t: sbvh.traverse_occluded(scene.bvh, o, d, t),
         )
     if tracer == "brute":
         return (
-            lambda o, d: intersect.intersect_brute_force(
-                o, d, geo.positions, geo.indices
+            lambda o, d, tm=None: intersect.intersect_brute_force(
+                o, d, geo.positions, geo.indices, t_max=tm
             ),
             lambda o, d, t: intersect.occluded_brute_force(
                 o, d, t, geo.positions, geo.indices
@@ -268,15 +277,19 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     # LOD, path.hlsli:224-244, image_value.h:81-97)
     cone_dist = jnp.zeros((n,), jnp.float32)
     cone_angle = 2.0 * jnp.tan(view.projection.vertical_fov * 0.5) / cfg.height
+    pixel_idx = jnp.arange(n, dtype=jnp.int32)  # lane -> original pixel
     # ray counters (reference: atomic total/shadow counters ->
     # rays/sec display, Node/BDPT.cpp:197-202, 385-391)
     n_rays = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32)
 
     def bounce(carry, _):
         (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
-         n_rays, cone_dist) = carry
+         n_rays, cone_dist, pixel_idx) = carry
         n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
-        hit = trace_closest(origin, direction)
+        # dead lanes trace a zero-length segment: packet/pallas blocks of
+        # dead rays produce no candidates and exit immediately
+        seg_max = jnp.where(alive, intersect.T_MAX, 0.0)
+        hit = trace_closest(origin, direction, seg_max)
         sp = make_shading_point(geo, hit.tri, hit.bary, direction)
         mat = load_material(scene.materials, sp.material)
         # texture modulation with ray-cone mip LOD (static no-op for
@@ -539,17 +552,46 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         )
         alive = alive & survive
 
+        # -- wavefront re-sort (stream compaction analog, SURVEY.md M5) ----
+        if cfg.sort_rays:
+            from stratum_tpu.ops.bvh import morton3
+
+            lo = jnp.min(geo.positions, axis=0)
+            hi = jnp.max(geo.positions, axis=0)
+            q = (origin - lo) / jnp.maximum(hi - lo, 1e-9)
+            octant = (
+                (direction[..., 0] > 0).astype(jnp.uint32)
+                | ((direction[..., 1] > 0).astype(jnp.uint32) << 1)
+                | ((direction[..., 2] > 0).astype(jnp.uint32) << 2)
+            )
+            key = (octant << np.uint32(29)) | (morton3(q) >> np.uint32(3))
+            key = jnp.where(alive, key, np.uint32(0xFFFFFFFF))
+            order = jnp.argsort(key)
+            (origin, direction, beta, radiance, alive, prev_pdf_w, st,
+             cone_dist, pixel_idx) = jax.tree.map(
+                lambda a: a[order],
+                (origin, direction, beta, radiance, alive, prev_pdf_w, st,
+                 cone_dist, pixel_idx),
+            )
+
         return (
             origin, direction, beta, radiance, alive, prev_pdf_w, st,
-            depth + 1, n_rays, cone_dist,
+            depth + 1, n_rays, cone_dist, pixel_idx,
         ), None
 
     carry = (
         origin, direction, beta, radiance, alive, prev_pdf_w, st,
-        jnp.asarray(0), n_rays, cone_dist,
+        jnp.asarray(0), n_rays, cone_dist, pixel_idx,
     )
     carry, _ = lax.scan(bounce, carry, None, length=cfg.max_bounces + 1)
-    return carry[3], carry[8]
+    radiance_sorted, pixel_idx = carry[3], carry[10]
+    if cfg.sort_rays:
+        # scatter lanes back to their pixels
+        radiance_out = jnp.zeros_like(radiance_sorted)
+        radiance_out = radiance_out.at[pixel_idx].set(radiance_sorted)
+    else:
+        radiance_out = radiance_sorted
+    return radiance_out, carry[8]
 
 
 @partial(jax.jit, static_argnums=(2,))

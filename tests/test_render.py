@@ -104,3 +104,23 @@ def test_path_brighter_than_direct(cornell):
     p = np.asarray(integrator.render_path_progressive(scene, view, cfg, 8))
     d = _render_direct(cornell, 32, 32, spp=8)
     assert p.mean() > d.mean() * 1.1
+
+
+def test_wavefront_sorting_bit_identical(cornell):
+    """Re-sorting the wavefront each bounce (stream-compaction analog) must
+    not change a single bit: the RNG is keyed by pixel, not lane."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    a = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(32, 32, max_bounces=3, sort_rays=False), 7,
+        )
+    )
+    b = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(32, 32, max_bounces=3, sort_rays=True), 7,
+        )
+    )
+    np.testing.assert_array_equal(a, b)
