@@ -141,7 +141,16 @@ def _kernel(ncand_sp, rays_ref, cand_hbm, centry_hbm, feat_hbm, out_ref,
         jnp.zeros((B, 1), jnp.float32),
         jnp.zeros((B, 1), jnp.float32),
     )
-    _, best_t, best_slot, best_u, best_v = lax.while_loop(cond, body, state)
+    c_final, best_t, best_slot, best_u, best_v = lax.while_loop(
+        cond, body, state
+    )
+
+    # drain: an early exit leaves the prefetched next-leaf DMA in flight;
+    # its semaphore must be consumed or it corrupts the next grid step
+    @pl.when(c_final < n_cand)
+    def _():
+        dma(lax.rem(c_final, 2), c_final).wait()
+
     out_ref[0] = jnp.concatenate(
         [best_t, best_slot, best_u, best_v], axis=1
     )
