@@ -68,11 +68,13 @@ MXU_TRI_THRESHOLD = 16384
 
 def resolved_tracer(scene: SceneData, cfg: RenderConfig) -> str:
     if cfg.tracer == "auto":
-        return (
-            "mxu"
-            if scene.geo.num_triangles <= MXU_TRI_THRESHOLD
-            else "packet"
-        )
+        if scene.geo.num_triangles <= MXU_TRI_THRESHOLD:
+            return "mxu"
+        # the Pallas kernel needs a real TPU; virtual-CPU meshes use the
+        # XLA packet path
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "packet"
     return cfg.tracer
 
 

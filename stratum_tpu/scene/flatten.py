@@ -281,11 +281,13 @@ def flatten(root: Node, env_probability: float = 0.5):
     tri_features = build_tri_features(
         geo.positions, geo.indices, geo.tri_material >= 0
     )
-    # prefer the native SAH builder (tighter leaves); fall back to Morton
-    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0)
+    # prefer the native SAH builder (tighter leaves); fall back to Morton.
+    # leaf_size 256 measured best for the Pallas traversal kernel (fewer
+    # sequential leaf visits; the MXU eats the bigger per-visit matmul)
+    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=256)
     if fat_bvh is None:
         fat_bvh = build_fat_bvh(
-            geo.positions, geo.indices, geo.tri_material >= 0
+            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=256
         )
     from stratum_tpu.render.medium import build_media
     from stratum_tpu.ops.pallas_trace import pack_leaf_features
