@@ -73,31 +73,30 @@ def environment_pdf_w(scene: SceneData, direction):
 
 def sample_area_light(scene: SceneData, u_sel, u1, u2) -> LightSampleRecord:
     """Pick an emissive triangle from the power distribution and a uniform
-    point on it. pdf_area = P(light) / area (light.hlsli:122-140)."""
-    geo = scene.geo
+    point on it. pdf_area = P(light) / area (light.hlsli:122-140).
+
+    One packed-row gather per sample (see GeometrySoA.packed_tri)."""
     lights = scene.lights
     li, _, _ = sample_dist1d(lights.power_dist, u_sel)
     nl = jnp.maximum(lights.num_lights, 1)
     li = jnp.minimum(li, nl - 1)
-    tri = lights.tri_index[li]
-    idx = geo.indices[tri]
-    p0 = geo.positions[idx[..., 0]]
-    p1 = geo.positions[idx[..., 1]]
-    p2 = geo.positions[idx[..., 2]]
+    row = lights.packed[li]  # the only gather
+    p0 = row[..., 0:3]
+    e1 = row[..., 3:6]
+    e2 = row[..., 6:9]
     b1, b2 = smath.sample_uniform_triangle(u1, u2)
-    pos = p0 + (p1 - p0) * b1[..., None] + (p2 - p0) * b2[..., None]
-    n = smath.normalize(jnp.cross(p1 - p0, p2 - p0))
-    sel_pdf = dist1d_discrete_pdf(lights.power_dist, li)
-    area = jnp.maximum(lights.area[li], 1e-12)
-    mat_row = geo.tri_material[tri]
-    radiance = scene.materials.emission[jnp.maximum(mat_row, 0)]
+    pos = p0 + e1 * b1[..., None] + e2 * b2[..., None]
+    n = smath.normalize(jnp.cross(e1, e2))
+    sel_pdf = row[..., 13]
+    area = jnp.maximum(row[..., 12], 1e-12)
+    radiance = row[..., 9:12]
     return LightSampleRecord(
         position=pos,
         normal=n,
         radiance=radiance,
         pdf_area=sel_pdf / area,
         is_env=jnp.zeros(pos.shape[:-1], bool),
-        tri=tri,
+        tri=row[..., 14].astype(jnp.int32),
     )
 
 
@@ -131,8 +130,9 @@ def light_pdf_area(scene: SceneData, tri, light_row):
     light.hlsli:154-174)."""
     lights = scene.lights
     li = jnp.maximum(light_row, 0)
-    sel_pdf = dist1d_discrete_pdf(lights.power_dist, li)
-    area = jnp.maximum(lights.area[li], 1e-12)
+    row = lights.packed[li]  # one gather for (area, sel_pdf)
+    sel_pdf = row[..., 13]
+    area = jnp.maximum(row[..., 12], 1e-12)
     p_area_branch = jnp.where(
         scene.lights.num_lights > 0, 1.0 - lights.env_probability, 0.0
     )

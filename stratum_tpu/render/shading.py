@@ -36,31 +36,36 @@ def make_shading_point(
     geo: GeometrySoA, tri, bary, direction
 ) -> ShadingPoint:
     """Reconstruct surface data for hit triangles. ``tri`` may be -1 (miss);
-    outputs are garbage there and must be masked by the caller."""
+    outputs are garbage there and must be masked by the caller.
+
+    Reads ONE packed [32]-float row per hit instead of 13 separate vertex /
+    attribute gathers: XLA gathers on TPU cost ~5 ms per op nearly
+    independent of row width, so op count is everything."""
     safe_tri = jnp.maximum(tri, 0)
-    idx = geo.indices[safe_tri]  # [N, 3]
-    p0 = geo.positions[idx[..., 0]]
-    p1 = geo.positions[idx[..., 1]]
-    p2 = geo.positions[idx[..., 2]]
+    row = geo.packed_tri[safe_tri]  # [N, 32] — the only gather
+    p0 = row[..., 0:3]
+    e1 = row[..., 3:6]
+    e2 = row[..., 6:9]
     u = bary[..., 0:1]
     v = bary[..., 1:2]
     w = 1.0 - u - v
-    position = w * p0 + u * p1 + v * p2
-    e1 = p1 - p0
-    e2 = p2 - p0
+    position = p0 + u * e1 + v * e2
     ng_raw = jnp.cross(e1, e2)
     area = 0.5 * smath.length(ng_raw)
     ng = smath.normalize(ng_raw)
-    n0 = geo.normals[idx[..., 0]]
-    n1 = geo.normals[idx[..., 1]]
-    n2 = geo.normals[idx[..., 2]]
+    n0 = row[..., 9:12]
+    n1 = row[..., 12:15]
+    n2 = row[..., 15:18]
     ns = smath.normalize(w * n0 + u * n1 + v * n2)
     # orient the shading normal with the geometric normal
     ns = jnp.where(smath.dot(ns, ng)[..., None] < 0.0, -ns, ns)
-    t0 = geo.uvs[idx[..., 0]]
-    t1 = geo.uvs[idx[..., 1]]
-    t2 = geo.uvs[idx[..., 2]]
+    t0 = row[..., 18:20]
+    t1 = row[..., 20:22]
+    t2 = row[..., 22:24]
     uv = w * t0 + u * t1 + v * t2
+    mat_row = row[..., 24].astype(jnp.int32)
+    light_row = row[..., 25].astype(jnp.int32)
+    inst_row = row[..., 26].astype(jnp.int32)
     # uv-space tangent (dP/du) for normal mapping
     # (reference: dPdu/dPdv construction, shading_data.hlsli:2-63)
     duv1 = t1 - t0
@@ -88,9 +93,9 @@ def make_shading_point(
         geom_normal=ng * sign,
         shading_normal=ns * sign,
         uv=uv,
-        material=jnp.where(tri >= 0, geo.tri_material[safe_tri], -1),
-        light=jnp.where(tri >= 0, geo.tri_light[safe_tri], -1),
-        instance=jnp.where(tri >= 0, geo.tri_instance[safe_tri], -1),
+        material=jnp.where(tri >= 0, mat_row, -1),
+        light=jnp.where(tri >= 0, light_row, -1),
+        instance=jnp.where(tri >= 0, inst_row, -1),
         front_face=front,
         area=area,
         tangent=tangent,
@@ -153,9 +158,16 @@ def apply_textures(
     from stratum_tpu.render import texture as stex
 
     r = jnp.maximum(material_row, 0)
-    bc = stex.sample_bilinear(textures, materials.base_color_tex[r], uv, lod)
-    em = stex.sample_bilinear(textures, materials.emission_tex[r], uv, lod)
-    rm = stex.sample_bilinear(textures, materials.rough_metal_tex[r], uv, lod)
+    row = materials.packed[r]
+    bc = stex.sample_bilinear(
+        textures, row[..., 14].astype(jnp.int32), uv, lod
+    )
+    em = stex.sample_bilinear(
+        textures, row[..., 15].astype(jnp.int32), uv, lod
+    )
+    rm = stex.sample_bilinear(
+        textures, row[..., 16].astype(jnp.int32), uv, lod
+    )
     return mat._replace(
         base_color=mat.base_color * bc[..., :3],
         emission=mat.emission * em[..., :3],
@@ -165,19 +177,20 @@ def apply_textures(
 
 
 def load_material(materials: DisneyMaterials, material_row) -> MaterialSample:
-    """Gather material constants per hit; row -1 yields zeros via clamping
-    plus caller masking. Texture modulation is layered on by the texturing
-    stage (render/texture.py) once textures exist."""
+    """Gather material constants per hit from the packed row (ONE gather op
+    instead of ten; see GeometrySoA.packed_tri for the rationale). Row -1
+    yields row 0 + caller masking."""
     r = jnp.maximum(material_row, 0)
+    row = materials.packed[r]
     return MaterialSample(
-        base_color=materials.base_color[r],
-        emission=materials.emission[r],
-        metallic=materials.metallic[r],
-        roughness=materials.roughness[r],
-        anisotropic=materials.anisotropic[r],
-        subsurface=materials.subsurface[r],
-        clearcoat=materials.clearcoat[r],
-        clearcoat_gloss=materials.clearcoat_gloss[r],
-        transmission=materials.transmission[r],
-        eta=materials.eta[r],
+        base_color=row[..., 0:3],
+        emission=row[..., 3:6],
+        metallic=row[..., 6],
+        roughness=row[..., 7],
+        anisotropic=row[..., 8],
+        subsurface=row[..., 9],
+        clearcoat=row[..., 10],
+        clearcoat_gloss=row[..., 11],
+        transmission=row[..., 12],
+        eta=row[..., 13],
     )

@@ -227,9 +227,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         mat_fields["rough_metal_tex"][i] = texture_row(m.rough_metal_image)
         mat_fields["normal_tex"][i] = texture_row(m.normal_image)
         mat_fields["alpha_tex"][i] = texture_row(m.alpha_image)
-    device_mats = schema.DisneyMaterials(
-        **{k: jnp.asarray(v) for k, v in mat_fields.items()}
-    )
+    device_mats = schema.finalize_materials(mat_fields)
     textures = build_texture_stack(tex_images)
 
     # environment
@@ -270,6 +268,11 @@ def flatten(root: Node, env_probability: float = 0.5):
         tri_material=jnp.asarray(mat_p),
         tri_light=jnp.asarray(tri_light_p),
         tri_instance=jnp.asarray(inst_p),
+        packed_tri=jnp.asarray(
+            schema.pack_tri_rows(
+                pos_p, nrm_p, uv_p, idx_p, mat_p, tri_light_p, inst_p
+            )
+        ),
     )
     # acceleration structure (reference: TLAS build, Scene.cpp:614-629)
     from stratum_tpu.ops.bvh import build_bvh

@@ -51,6 +51,11 @@ class GeometrySoA(NamedTuple):
     tri_material: jnp.ndarray  # i32 [T] material row (-1 on padding)
     tri_light: jnp.ndarray  # i32 [T] light row or -1
     tri_instance: jnp.ndarray  # i32 [T] owning instance id (visibility/pick)
+    # one-gather shading row [T, 32]: p0|e1|e2|n0|n1|n2|uv0|uv1|uv2|
+    # material|light|instance|pad (XLA gathers cost ~5ms per OP almost
+    # independent of row width — consolidating 13 gathers into 1 is the
+    # single biggest shading speedup measured on TPU)
+    packed_tri: jnp.ndarray  # f32 [T, 32]
 
     @property
     def num_triangles(self) -> int:
@@ -84,6 +89,7 @@ class DisneyMaterials(NamedTuple):
     normal_tex: jnp.ndarray  # i32 [M]
     alpha_tex: jnp.ndarray  # i32 [M] alpha mask for alpha test
     alpha_cutoff: jnp.ndarray  # f32 [M]
+    packed: jnp.ndarray  # f32 [M, 24] one-gather row of all of the above
 
     @property
     def num_materials(self) -> int:
@@ -101,6 +107,8 @@ class LightData(NamedTuple):
     power_dist: Dist1D  # over L
     num_lights: jnp.ndarray  # i32 scalar (0 => no area lights)
     env_probability: jnp.ndarray  # f32 scalar: P(sample env | sampling a light)
+    # one-gather sampling row [L, 16]: p0|e1|e2|Le|area|sel_pdf|tri|pad
+    packed: jnp.ndarray  # f32 [L, 16]
 
 
 class Environment(NamedTuple):
@@ -157,6 +165,30 @@ def default_material_arrays(n: int) -> dict:
     )
 
 
+def finalize_materials(arrs: dict) -> DisneyMaterials:
+    """Field dict (numpy) -> DisneyMaterials with the packed one-gather row
+    (same rationale as GeometrySoA.packed_tri)."""
+    n = arrs["base_color"].shape[0]
+    packed = np.zeros((n, 24), np.float32)
+    packed[:, 0:3] = arrs["base_color"]
+    packed[:, 3:6] = arrs["emission"]
+    for i, f in enumerate((
+        "metallic", "roughness", "anisotropic", "subsurface", "clearcoat",
+        "clearcoat_gloss", "transmission", "eta",
+    )):
+        packed[:, 6 + i] = arrs[f]
+    for i, f in enumerate((
+        "base_color_tex", "emission_tex", "rough_metal_tex", "normal_tex",
+        "alpha_tex",
+    )):
+        packed[:, 14 + i] = arrs[f]
+    packed[:, 19] = arrs["alpha_cutoff"]
+    return DisneyMaterials(
+        packed=jnp.asarray(packed),
+        **{k: jnp.asarray(v) for k, v in arrs.items()},
+    )
+
+
 def make_materials(**fields) -> DisneyMaterials:
     """Build a DisneyMaterials from per-field numpy arrays; missing fields get
     defaults. All fields must share the leading length M."""
@@ -169,7 +201,7 @@ def make_materials(**fields) -> DisneyMaterials:
         if k not in arrs:
             raise KeyError(f"unknown material field {k!r}")
         arrs[k] = np.asarray(v, arrs[k].dtype).reshape(arrs[k].shape)
-    return DisneyMaterials(**{k: jnp.asarray(v) for k, v in arrs.items()})
+    return finalize_materials(arrs)
 
 
 def constant_environment(rgb=(0.0, 0.0, 0.0)) -> Environment:
@@ -211,6 +243,29 @@ def build_geometry(
     return pos, nrm, uv, idx, mat, inst
 
 
+def pack_tri_rows(positions, normals, uvs, indices, tri_material, tri_light,
+                  tri_instance):
+    """Build the [T, 32] one-gather shading rows (host numpy)."""
+    t = indices.shape[0]
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    rows = np.zeros((t, 32), np.float32)
+    rows[:, 0:3] = p0
+    rows[:, 3:6] = p1 - p0
+    rows[:, 6:9] = p2 - p0
+    rows[:, 9:12] = normals[indices[:, 0]]
+    rows[:, 12:15] = normals[indices[:, 1]]
+    rows[:, 15:18] = normals[indices[:, 2]]
+    rows[:, 18:20] = uvs[indices[:, 0]]
+    rows[:, 20:22] = uvs[indices[:, 1]]
+    rows[:, 22:24] = uvs[indices[:, 2]]
+    rows[:, 24] = tri_material
+    rows[:, 25] = tri_light
+    rows[:, 26] = tri_instance
+    return rows
+
+
 def triangle_areas(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     p0 = positions[indices[:, 0]]
     e1 = positions[indices[:, 1]] - p0
@@ -245,14 +300,28 @@ def build_lights(
         powers[:nl] = lum[light_tris] * a * np.pi  # two-sided handled at eval
         tri_idx[:nl] = light_tris
     weights = powers if powers.sum() > 0 else np.ones((npad,), np.float32)
+    power_dist = build_dist1d(weights)
+    packed = np.zeros((npad, 16), np.float32)
+    if nl:
+        p0 = positions[indices[light_tris, 0]]
+        p1 = positions[indices[light_tris, 1]]
+        p2 = positions[indices[light_tris, 2]]
+        packed[:nl, 0:3] = p0
+        packed[:nl, 3:6] = p1 - p0
+        packed[:nl, 6:9] = p2 - p0
+        packed[:nl, 9:12] = emission[tri_material[light_tris]]
+    packed[:, 12] = areas
+    packed[:, 13] = np.asarray(power_dist.pdf) / npad  # discrete mass
+    packed[:, 14] = tri_idx
     return (
         LightData(
             tri_index=jnp.asarray(tri_idx),
             area=jnp.asarray(areas),
             power=jnp.asarray(powers),
-            power_dist=build_dist1d(weights),
+            power_dist=power_dist,
             num_lights=jnp.asarray(nl, jnp.int32),
             env_probability=jnp.asarray(env_probability, jnp.float32),
+            packed=jnp.asarray(packed),
         ),
         tri_light,
     )
