@@ -51,6 +51,9 @@ class RenderConfig:
     rr_min_beta: float = 0.05
     bsdf: str = "lambert"  # "lambert" | "disney"
     tracer: str = "auto"  # "auto" | "mxu" | "bvh" | "brute"
+    alpha_test: bool = False  # re-trace through alpha-masked hits
+                              # (reference: eAlphaTest + alpha-tested
+                              # RayQuery commits, intersection.hlsli:118-128)
     ris_candidates: int = 1  # >1 enables reservoir (RIS) NEE
                              # (reference: eNEEReservoirs, bdpt.h + ReSTIR)
     sort_rays: bool = False  # re-sort the wavefront by (octant, morton)
@@ -292,6 +295,41 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         # dead rays produce no candidates and exit immediately
         seg_max = jnp.where(alive, intersect.T_MAX, 0.0)
         hit = trace_closest(origin, direction, seg_max)
+        if cfg.alpha_test and scene.textures.resolution > 1:
+            # transparent hits continue: sample the alpha mask at each hit
+            # and re-trace past cut-out texels (bounded retries; the
+            # reference does this inside the RayQuery candidate loop)
+            from stratum_tpu.render import texture as stex
+
+            for _retry in range(3):
+                sp_a = make_shading_point(geo, hit.tri, hit.bary, direction)
+                arow = scene.materials.packed[jnp.maximum(sp_a.material, 0)]
+                alpha_tex = arow[..., 18].astype(jnp.int32)
+                cutoff = arow[..., 19]
+                a_val = stex.sample_bilinear(
+                    scene.textures, alpha_tex, sp_a.uv
+                )[..., 3]
+                transparent = (
+                    hit.hit & (alpha_tex >= 0) & (a_val < cutoff)
+                )
+                re_origin = jnp.where(
+                    transparent[..., None],
+                    origin + direction * (hit.t * 1.0001 + 1e-4)[..., None],
+                    origin,
+                )
+                hit2 = trace_closest(
+                    re_origin, direction,
+                    jnp.where(transparent, seg_max, 0.0),
+                )
+                hit = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        transparent.reshape(
+                            transparent.shape + (1,) * (new.ndim - 1)
+                        ),
+                        new, old,
+                    ),
+                    hit2, hit,
+                )
         sp = make_shading_point(geo, hit.tri, hit.bary, direction)
         mat = load_material(scene.materials, sp.material)
         # texture modulation with ray-cone mip LOD (static no-op for

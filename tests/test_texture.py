@@ -137,3 +137,67 @@ def test_normal_mapping_perturbs():
             np.testing.assert_allclose(np.linalg.norm(n_new), 1.0, atol=1e-4)
         else:
             np.testing.assert_allclose(n_new, n_old, atol=0.02)
+
+
+def test_alpha_test_continuation():
+    """A fully cut-out quad in front of a visible emissive quad: with
+    alpha_test on, rays pass through the masked quad (reference: eAlphaTest,
+    intersection.hlsli:118-128)."""
+    import jax.numpy as jnp
+
+    from stratum_tpu.render import camera, integrator
+    from stratum_tpu.scene import flatten as sflatten
+    from stratum_tpu.scene.graph import MeshPrimitive, NodeGraph
+    from stratum_tpu.scene.material import Material
+
+    # alpha mask: left half transparent, right half opaque
+    mask = np.ones((8, 8, 4), np.float32)
+    mask[:, :4, 3] = 0.0
+    quad = np.asarray(
+        [[-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float32
+    )
+    uvq = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    g = NodeGraph()
+    front = g.root.add_child("masked")
+    front.make_component(
+        MeshPrimitive(
+            positions=quad, indices=idx, uvs=uvq,
+            material=Material(alpha_image=mask),
+        )
+    )
+    back = g.root.add_child("emitter")
+    back.make_component(
+        MeshPrimitive(
+            positions=quad * np.asarray([3, 3, 1], np.float32)
+            + np.asarray([0, 0, 2], np.float32),
+            # winding flipped: the emitter faces the camera (-z)
+            indices=idx[:, ::-1].copy(),
+            material=Material(
+                base_color=np.zeros(3, np.float32),
+                emission=np.full(3, 5.0, np.float32),
+            ),
+        )
+    )
+    scene, _ = sflatten.flatten(g.root)
+    view = camera.look_at_view((0, 0, -2), (0, 0, 1), np.radians(40), 16, 16)
+    on = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(16, 16, max_bounces=1, alpha_test=True), 0,
+        )
+    )
+    off = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(16, 16, max_bounces=1, alpha_test=False), 0,
+        )
+    )
+    # interior pixels only (borders see around the small front quad)
+    interior_l = np.s_[3:13, 2:7]
+    interior_r = np.s_[3:13, 9:14]
+    # transparent (left) side sees the emitter with alpha_test on
+    assert on[interior_l].max() >= 4.0, on[interior_l].max()
+    assert off[interior_l].max() < 4.0
+    # opaque (right) side stays blocked either way
+    assert on[interior_r].max() < 4.0
