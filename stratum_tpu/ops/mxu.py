@@ -99,7 +99,8 @@ def _chunk_quants(rays, feat_chunk):
     return a, u, v, t
 
 
-RAY_CHUNK = 131072  # bound [rays x tris] temporaries (OOM guard, ~0.5GB/buf)
+RAY_CHUNK = 131072  # bound [rays x tris] temporaries (OOM guard; measured
+                    # faster than 512K chunks: 4.55 vs 4.09 Mrays/s at 1080p)
 
 
 def _ray_chunked(fn, origin, direction, extra, ray_chunk):
