@@ -471,7 +471,6 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 p_hat = smath.luminance(c_m)
                 cand = dict(contrib=c_m, wi=wi, dist=dist, pdf_w=pdf_w)
                 res = sres.update(res, cand, p_hat, p_hat, u[..., 3])
-            w_ris = sres.contribution_weight(res)
             kept = res.sample
             wi = kept["wi"]
             dist = kept["dist"]

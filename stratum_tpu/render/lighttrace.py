@@ -202,11 +202,6 @@ def trace_emission_only(scene: SceneData, view, cfg: RenderConfig, seed):
     return rad.reshape(cfg.height, cfg.width, 3)
 
 
-@jax.jit
-def _noop(x):
-    return x
-
-
 def render_lt(scene: SceneData, view, cfg: RenderConfig, seed):
     """Complete light-traced image: splats + directly-visible emission."""
     from functools import partial
