@@ -109,6 +109,10 @@ def main(argv=None) -> int:
     g = build_scene(opts)
     # plugins: python modules with a register(graph, opts) hook
     # (reference: dynamic_library plugin loading, src/main.cpp:11-24)
+    for vol in opts.find_all("volume"):
+        from stratum_tpu.scene.loaders.volumes import load_volume
+
+        load_volume(g.root, vol, density_scale=opts.get_float("densityScale", 1.0))
     for plug in opts.find_all("plugin"):
         import importlib
 

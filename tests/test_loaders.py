@@ -149,3 +149,26 @@ def test_mitsuba_dielectric(tmp_path):
     scene, _ = flatten.flatten(g.root)
     assert np.asarray(scene.materials.transmission)[0] == 1.0
     np.testing.assert_allclose(np.asarray(scene.materials.eta)[0], 1.33, rtol=1e-5)
+
+
+def test_vol_grid_roundtrip(tmp_path, rng_np):
+    """Mitsuba .vol write/read roundtrip + MediumComponent creation
+    (reference: load_volumes.cpp)."""
+    from stratum_tpu.scene.graph import MediumComponent
+    from stratum_tpu.scene.loaders.volumes import (
+        load_vol_grid,
+        load_volume,
+        write_vol_grid,
+    )
+
+    d = rng_np.random((6, 5, 4)).astype(np.float32)
+    p = tmp_path / "g.vol"
+    write_vol_grid(p, d, (0, 0, 0), (1, 2, 3))
+    data, lo, hi = load_vol_grid(p)
+    np.testing.assert_allclose(data[..., 0], d)
+    np.testing.assert_allclose(hi, [1, 2, 3])
+    g = NodeGraph()
+    n = load_volume(g.root, p, g=0.3, density_scale=2.0)
+    mc = n.find(MediumComponent)
+    np.testing.assert_allclose(mc.density, d * 2.0)
+    assert mc.g == 0.3
