@@ -253,9 +253,7 @@ def _cam_factor(view, position, width, height):
     dist2 = smath.length_squared(p_cam)
     cos_c = jnp.abs(p_cam[..., 2]) / jnp.maximum(jnp.sqrt(dist2), 1e-20)
     a_plane = view.projection.sensor_area
-    we = (view and 1.0)  # placeholder to keep signature simple
-    num_pix = _cam_factor.num_pix
-    we = num_pix / jnp.maximum(a_plane * cos_c ** 3, 1e-20)
+    we = (width * height) / jnp.maximum(a_plane * cos_c ** 3, 1e-20)
     return smath.safe_div(we * cos_c, dist2)
 
 
@@ -267,7 +265,6 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     geo = scene.geo
     width, height = cfg.width, cfg.height
     num_pix = width * height
-    _cam_factor.num_pix = num_pix
     depth = cfg.max_bounces + 1  # surface vertices per subpath
 
     # ---- camera subpath ---------------------------------------------------

@@ -419,6 +419,59 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             )
         )
 
+        # NEE vertex: the surface hit, or the medium scatter point for lanes
+        # that scattered in a volume (reference: next_vertex dispatches
+        # surface-vs-medium NEE the same way, path.hlsli:1047-1075)
+        if has_media:
+            nee_pos = jnp.where(in_medium[..., None], m_pos, sp.position)
+            nee_shadow_origin = jnp.where(
+                in_medium[..., None],
+                m_pos,
+                intersect.ray_offset(sp.position, sp.geom_normal),
+            )
+        else:
+            nee_pos = sp.position
+            nee_shadow_origin = intersect.ray_offset(
+                sp.position, sp.geom_normal
+            )
+
+        def light_sample_geom(ls):
+            """Direction/distance/pdf of a light sample seen from nee_pos."""
+            to_light = jnp.where(
+                ls.is_env[..., None], ls.position, ls.position - nee_pos
+            )
+            dist = jnp.where(
+                ls.is_env, intersect.T_MAX * 0.5, smath.length(to_light)
+            )
+            wi = jnp.where(
+                ls.is_env[..., None], ls.position,
+                to_light / jnp.maximum(dist, 1e-20)[..., None],
+            )
+            cos_l = jnp.where(
+                ls.is_env, 1.0, jnp.maximum(smath.dot(-wi, ls.normal), 0.0)
+            )
+            g = jnp.where(ls.is_env, 1.0, smath.safe_div(cos_l, dist * dist))
+            pdf_w = jnp.where(
+                ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g)
+            )
+            return wi, dist, cos_l, pdf_w
+
+        def eval_scatter(wi):
+            """Vertex throughput toward wi (cosine folded in for surfaces;
+            albedo x HG phase for medium scatter vertices) and the forward
+            solid-angle pdf of BSDF/phase sampling, for MIS."""
+            wi_local = smath.to_local(wi, ns)
+            ev = bsdf_eval(mat, wo_local, wi_local)
+            f = ev.f * jnp.abs(wi_local[..., 2])[..., None]
+            pdf_fwd = ev.pdf_fwd
+            if has_media:
+                ph = smedium.hg_phase(m_g, smath.dot(direction, wi))
+                f = jnp.where(
+                    in_medium[..., None], m_weight * ph[..., None], f
+                )
+                pdf_fwd = jnp.where(in_medium, ph, pdf_fwd)
+            return f, pdf_fwd
+
         # -- NEE (connect_light, path.hlsli:310-366); with
         # cfg.ris_candidates > 1 the candidate is reservoir-selected by its
         # unshadowed contribution (RIS; reference: connect_light_reservoir,
@@ -439,34 +492,11 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 ls = slights.sample_light(
                     scene, u[..., 0], u[..., 1], u[..., 2]
                 )
-                to_light = jnp.where(
-                    ls.is_env[..., None], ls.position,
-                    ls.position - sp.position,
-                )
-                dist = jnp.where(
-                    ls.is_env, intersect.T_MAX * 0.5, smath.length(to_light)
-                )
-                wi = jnp.where(
-                    ls.is_env[..., None], ls.position,
-                    to_light / jnp.maximum(dist, 1e-20)[..., None],
-                )
-                cos_l = jnp.where(
-                    ls.is_env, 1.0,
-                    jnp.maximum(smath.dot(-wi, ls.normal), 0.0),
-                )
-                g = jnp.where(
-                    ls.is_env, 1.0, smath.safe_div(cos_l, dist * dist)
-                )
-                pdf_w = jnp.where(
-                    ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g)
-                )
-                wi_local = smath.to_local(wi, ns)
-                ev = bsdf_eval(mat, wo_local, wi_local)
-                c_m = (
-                    ev.f
-                    * ls.radiance
-                    * smath.safe_div(jnp.abs(wi_local[..., 2]), pdf_w)[..., None]
-                )
+                wi, dist, cos_l, pdf_w = light_sample_geom(ls)
+                f_m, _ = eval_scatter(wi)
+                c_m = f_m * ls.radiance * smath.safe_div(
+                    jnp.ones_like(pdf_w), pdf_w
+                )[..., None]
                 c_m = jnp.where((cos_l > 0)[..., None], c_m, 0.0)
                 p_hat = smath.luminance(c_m)
                 cand = dict(contrib=c_m, wi=wi, dist=dist, pdf_w=pdf_w)
@@ -476,10 +506,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             dist = kept["dist"]
             w_nee = jnp.where(
                 jnp.asarray(cfg.use_mis),
-                mis_power_heuristic(
-                    kept["pdf_w"],
-                    bsdf_eval(mat, wo_local, smath.to_local(wi, ns)).pdf_fwd,
-                ),
+                mis_power_heuristic(kept["pdf_w"], eval_scatter(wi)[1]),
                 1.0,
             )
             contrib = (
@@ -494,11 +521,10 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             candidate = alive & (res.target_pdf > 0) & (
                 jnp.max(contrib, axis=-1) > 0
             )
-            shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
-            occluded = trace_occluded(shadow_origin, wi, dist)
+            occluded = trace_occluded(nee_shadow_origin, wi, dist)
             if has_media:
                 trans, st = smedium.transmittance(
-                    scene.media, shadow_origin, wi, dist, st
+                    scene.media, nee_shadow_origin, wi, dist, st
                 )
                 contrib = contrib * trans[..., None]
             radiance = radiance + jnp.where(
@@ -508,36 +534,18 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         elif cfg.use_nee:
             u, st = srng.next_floats(st, 3)
             ls = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
-            to_light = jnp.where(
-                ls.is_env[..., None], ls.position, ls.position - sp.position
-            )
-            dist = jnp.where(
-                ls.is_env, intersect.T_MAX * 0.5, smath.length(to_light)
-            )
-            wi = jnp.where(
-                ls.is_env[..., None], ls.position, to_light / jnp.maximum(dist, 1e-20)[..., None]
-            )
-            cos_l = jnp.where(
-                ls.is_env, 1.0, jnp.maximum(smath.dot(-wi, ls.normal), 0.0)
-            )
-            g = jnp.where(ls.is_env, 1.0, smath.safe_div(cos_l, dist * dist))
-            pdf_w = jnp.where(
-                ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g)
-            )
-            wi_local = smath.to_local(wi, ns)
-            ev = bsdf_eval(mat, wo_local, wi_local)
+            wi, dist, cos_l, pdf_w = light_sample_geom(ls)
+            f, pdf_fwd = eval_scatter(wi)
             w_nee = jnp.where(
                 jnp.asarray(cfg.use_mis),
-                mis_power_heuristic(pdf_w, ev.pdf_fwd),
+                mis_power_heuristic(pdf_w, pdf_fwd),
                 1.0,
             )
             contrib = (
                 beta
-                * ev.f
+                * f
                 * ls.radiance
-                * smath.safe_div(
-                    jnp.abs(wi_local[..., 2]) * w_nee, pdf_w
-                )[..., None]
+                * smath.safe_div(w_nee, pdf_w)[..., None]
             )
             candidate = (
                 alive
@@ -545,8 +553,15 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 & (cos_l > 0.0)
                 & (jnp.max(contrib, axis=-1) > 0.0)
             )
-            shadow_origin = intersect.ray_offset(sp.position, sp.geom_normal)
-            occluded = trace_occluded(shadow_origin, wi, dist)
+            occluded = trace_occluded(nee_shadow_origin, wi, dist)
+            if has_media:
+                # shadow segments attenuate through volumes (reference:
+                # trace_visibility_ray always folds null-collision
+                # transmittance, intersection.hlsli:192-239)
+                trans, st = smedium.transmittance(
+                    scene.media, nee_shadow_origin, wi, dist, st
+                )
+                contrib = contrib * trans[..., None]
             n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
             radiance = radiance + jnp.where(
                 (candidate & ~occluded)[..., None], contrib, 0.0

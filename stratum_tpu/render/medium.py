@@ -112,16 +112,24 @@ def density_at(media: MediumData, slot, p):
 
 
 def hg_phase(g, cos_theta):
-    """Henyey-Greenstein phase function value (medium.hlsli:26-35)."""
-    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    """Henyey-Greenstein phase function value (medium.hlsli:26-35).
+
+    ``cos_theta`` is the cosine of the scattering angle measured between the
+    incoming *propagation* direction and the outgoing direction wi
+    (forward scattering = +1): p = (1/4pi)(1-g^2)/(1+g^2-2g cos)^1.5, peaked
+    forward for g>0. This matches ``sample_hg``'s inversion exactly (the
+    sampled cos density is (1-g^2)/(2 (1+g^2-2gc)^1.5)), so the returned pdf
+    IS the phase value — verified by the chi-square test in test_medium."""
+    denom = 1.0 + g * g - 2.0 * g * cos_theta
     return smath.INV_4PI * (1.0 - g * g) / jnp.maximum(
         denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12
     )
 
 
 def sample_hg(g, wo, u1, u2):
-    """Sample the HG phase about -wo (medium.hlsli:37-55). Returns (wi,
-    pdf)."""
+    """Sample the HG phase about the propagation direction -wo
+    (medium.hlsli:37-55). Returns (wi, pdf) with pdf = phase value at the
+    sampled angle (the phase is its own solid-angle pdf)."""
     safe_g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
     sq = (1.0 - safe_g * safe_g) / (1.0 - safe_g + 2.0 * safe_g * u1)
     cos_t_aniso = (1.0 + safe_g * safe_g - sq * sq) / (2.0 * safe_g)

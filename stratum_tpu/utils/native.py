@@ -14,7 +14,9 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import stat
 import subprocess
+import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -23,21 +25,51 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _CACHE: dict = {}
 
 
+def _cache_dir() -> Path:
+    """User-private cache directory: a world-writable fixed /tmp path would
+    let another local user pre-plant a malicious .so that CDLL would load."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = Path(base) / "stratum_tpu" / "native"
+    d.mkdir(parents=True, exist_ok=True)
+    os.chmod(d, 0o700)
+    return d
+
+
+def _owned_private(path: Path) -> bool:
+    st = os.stat(path)
+    return st.st_uid == os.getuid() and not (
+        st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+    )
+
+
 def _build_library(name: str) -> ctypes.CDLL | None:
     src = _NATIVE_DIR / f"{name}.cpp"
     if not src.exists():
         return None
     tag = hashlib.sha1(src.read_bytes()).hexdigest()[:12]
-    out = Path("/tmp") / f"stratum_{name}_{tag}.so"
-    if not out.exists():
+    out = _cache_dir() / f"stratum_{name}_{tag}.so"
+    if not (out.exists() and _owned_private(out)):
+        # compile to a private temp file, then atomic rename into place
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(out.parent))
+        os.close(fd)
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-std=c++17", "-pthread", str(src), "-o", str(out),
+            "-std=c++17", "-pthread", str(src), "-o", tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.chmod(tmp, 0o500)
+            os.rename(tmp, out)
         except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
+    if not _owned_private(out):
+        return None
     try:
         return ctypes.CDLL(str(out))
     except OSError:

@@ -77,6 +77,76 @@ def test_hg_phase_normalization(rng_np):
         assert mean_cos == pytest.approx(g, abs=0.02), (g, mean_cos)
 
 
+def test_hg_sampled_density_matches_pdf(rng_np):
+    """The histogram of sampled cos(theta) must match the returned pdf —
+    this is the sample/eval consistency the reference's medium.hlsli pair
+    has (catches sign-convention mismatches MIS depends on)."""
+    n = 400_000
+    for g in (0.7, -0.5, 0.2):
+        u = rng_np.random((n, 2)).astype(np.float32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        wi, pdf = smedium.sample_hg(
+            jnp.full((n,), g), wo, jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1])
+        )
+        cos_t = np.asarray(smath.dot(-wo, wi))
+        pdf = np.asarray(pdf)
+        edges = np.linspace(-1.0, 1.0, 41)
+        hist, _ = np.histogram(cos_t, bins=edges)
+        # density over cos: p(c) = 2*pi*phase (azimuthal integral)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        expect = (
+            2.0 * np.pi
+            * np.asarray(smedium.hg_phase(g, jnp.asarray(centers)))
+            * (edges[1] - edges[0])
+            * n
+        )
+        mask = expect > 200  # enough mass for a stable ratio
+        ratio = hist[mask] / expect[mask]
+        assert np.all(np.abs(ratio - 1.0) < 0.15), (g, ratio)
+        # and the returned pdf equals the phase value at the sampled angle
+        ph = np.asarray(smedium.hg_phase(g, jnp.asarray(cos_t)))
+        assert np.allclose(pdf, ph, rtol=2e-3, atol=1e-6)
+
+
+def test_medium_nee_vs_bsdf_only():
+    """Estimator consistency in fog: NEE-on and NEE-off renders of the foggy
+    Cornell must converge to the same mean (the medium vertex now gets a
+    phase-function NEE connection; reference: next_vertex medium dispatch,
+    path.hlsli:1047-1075)."""
+    from stratum_tpu.render import camera, integrator
+    from stratum_tpu.scene import builtin, flatten
+    from stratum_tpu.scene.graph import MediumComponent
+
+    g = builtin.cornell_box(boxes=False)
+    fog = g.root.add_child("fog")
+    fog.make_component(
+        MediumComponent(
+            density=np.full((4, 4, 4), 0.003, np.float32),
+            box_lo=np.asarray([0, 0, 0], np.float32),
+            box_hi=np.asarray([555, 555, 555], np.float32),
+            albedo=np.full(3, 0.8, np.float32),
+            g=0.4,
+        )
+    )
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    view = camera.make_view(node.to_world(), cam.fovy, 24, 24)
+    spp = 48
+    cfg_nee = integrator.RenderConfig(width=24, height=24, max_bounces=3)
+    cfg_off = integrator.RenderConfig(
+        width=24, height=24, max_bounces=3, use_nee=False
+    )
+    img_nee = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg_nee, spp)
+    )
+    img_off = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg_off, spp)
+    )
+    assert np.isfinite(img_nee).all() and np.isfinite(img_off).all()
+    # means agree within Monte Carlo noise of the BSDF-only estimator
+    assert img_nee.mean() == pytest.approx(img_off.mean(), rel=0.15)
+
+
 def test_foggy_cornell_renders():
     """End-to-end: a fog box in the Cornell box produces a finite image that
     is dimmer on the walls (extinction) and glows near the light."""
