@@ -131,6 +131,8 @@ def main(argv=None) -> int:
     c2w, fovy = ensure_camera(g, opts, (lo, hi))
     view = scamera.make_view(c2w, fovy, width, height)
 
+    # full parameter surface (reference: every BDPT option is a CLI flag,
+    # Node/BDPT.cpp:54-127)
     cfg = sintegrator.RenderConfig(
         width=width,
         height=height,
@@ -139,6 +141,12 @@ def main(argv=None) -> int:
         use_mis=opts.get_bool("mis", True),
         bsdf=opts.get_str("bsdf", "disney"),
         rr_depth=opts.get_int("rrDepth", 2),
+        rr_min_beta=opts.get_float("rrMinBeta", 0.05),
+        tracer=opts.get_str("tracer", "auto"),
+        alpha_test=opts.get_bool("alphaTest", False),
+        ris_candidates=opts.get_int("ris", 1)
+        if opts.get_str("integrator", "path") != "restir" else 1,
+        sort_rays=opts.get_bool("sortRays", False),
     )
     integrator_name = opts.get_str("integrator", "path")
 
@@ -155,6 +163,20 @@ def main(argv=None) -> int:
         from stratum_tpu.render import bdpt as sbdpt
 
         img = sbdpt.render_bdpt_progressive(scene, view, cfg, spp, seed)
+    elif integrator_name == "restir":
+        # ReSTIR DI (reservoirs persist across the spp frames) composed
+        # with indirect-only progressive PT (render/session.py does the
+        # same composition for interactive use)
+        from stratum_tpu.render import session as ssession
+
+        sess = ssession.RenderSession(
+            scene, view, cfg,
+            use_restir=True,
+            restir_candidates=opts.get_int("ris", 4),
+            restir_spatial_taps=opts.get_int("spatialTaps", 1),
+            seed0=seed,
+        )
+        img = sess.step(spp)
     else:
         raise ValueError(f"unknown integrator {integrator_name!r}")
     if opts.get_bool("denoise", False):

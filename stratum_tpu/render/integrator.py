@@ -60,6 +60,10 @@ class RenderConfig:
                              # each bounce: block coherence for packet/pallas
                              # tracers (reference: eRemapThreads/coherent-
                              # sampling ideas, bdpt_util.hlsli:76-83)
+    indirect_only: bool = False  # drop camera-visible emission and direct
+                                 # lighting (path lengths <= 2): the ReSTIR
+                                 # DI pass supplies those when composed by
+                                 # RenderSession / --integrator=restir
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -380,12 +384,19 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             )
         else:
             w_env = jnp.where(prev_pdf_w < 0.0, 1.0, 0.0)
+        if cfg.indirect_only:
+            # env escapes at depth 0 (camera sees sky) and depth 1 (first-
+            # bounce direct, the BSDF-sampling side of the pair ReSTIR DI
+            # replaces) belong to the direct pass
+            miss = miss & (depth >= 2)
         radiance = radiance + jnp.where(
             miss[..., None], beta * env_le * w_env[..., None], 0.0
         )
 
         # -- emissive hit with MIS vs NEE (eval_emission, path.hlsli:847-894)
         is_emissive = alive & hit.hit & (sp.light >= 0) & sp.front_face & ~in_medium
+        if cfg.indirect_only:
+            is_emissive = is_emissive & (depth >= 2)
         dist2 = smath.length_squared(sp.position - origin)
         cos_light = jnp.abs(smath.dot(direction, sp.geom_normal))
         nee_pdf_area = slights.light_pdf_area(scene, hit.tri, sp.light)
@@ -472,6 +483,11 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 pdf_fwd = jnp.where(in_medium, ph, pdf_fwd)
             return f, pdf_fwd
 
+        # NEE at depth 0 is exactly the direct lighting ReSTIR DI replaces
+        nee_allowed = (
+            alive & (depth >= 1) if cfg.indirect_only else alive
+        )
+
         # -- NEE (connect_light, path.hlsli:310-366); with
         # cfg.ris_candidates > 1 the candidate is reservoir-selected by its
         # unshadowed contribution (RIS; reference: connect_light_reservoir,
@@ -518,7 +534,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 )[..., None]
                 * w_nee[..., None]
             )
-            candidate = alive & (res.target_pdf > 0) & (
+            candidate = nee_allowed & (res.target_pdf > 0) & (
                 jnp.max(contrib, axis=-1) > 0
             )
             occluded = trace_occluded(nee_shadow_origin, wi, dist)
@@ -548,7 +564,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 * smath.safe_div(w_nee, pdf_w)[..., None]
             )
             candidate = (
-                alive
+                nee_allowed
                 & (pdf_w > 1e-12)
                 & (cos_l > 0.0)
                 & (jnp.max(contrib, axis=-1) > 0.0)

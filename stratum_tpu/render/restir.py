@@ -1,25 +1,30 @@
-"""ReSTIR direct illumination: RIS candidates + temporal reservoir reuse.
+"""ReSTIR direct illumination: RIS + temporal + spatial reservoir reuse.
 
 TPU-native analog of the reference's reservoir NEE with history reuse
 (``connect_light_reservoir`` with RIS + prev-frame spatial reuse,
 src/Shaders/common/path.hlsli:367-487; NEEReservoir records, bdpt.h:158-167;
 flags eNEEReservoirs / eNEEReservoirReuse). The reference reuses through a
-world-space hash grid; here the per-pixel screen-space buffer is the
-temporal carrier (static-camera reuse v1 — on camera moves RenderSession
-resets the buffer exactly like the reference resets on accumulation reset).
+world-space hash grid; here temporal reuse is carried by the per-pixel
+buffer **reprojected through camera motion** (gather at the prev-frame
+pixel of each first hit) and spatial reuse queries the sort-rebuilt
+world-space hash grid (ops/hashgrid.py) for same-cell neighbors.
 
 Per frame:
   1. first-hit shading points at jittered pixel positions;
   2. M initial light candidates stream into a fresh reservoir with target
      p_hat = luminance(unshadowed contribution, full BSDF);
-  3. the previous frame's reservoir merges in (history M clamped to
+  3. the previous frame's reservoir — fetched at this hit's PREVIOUS-view
+     pixel when ``prev_view`` is given — merges in (history M clamped to
      ``history_limit`` x M, the standard ReSTIR bias/vigor tradeoff — the
      reference caps reservoir M the same way);
-  4. one visibility ray shades the winner:
+  4. ``spatial_taps`` random same-cell neighbors merge in through the
+     world-space hash grid (target re-evaluated at the receiver);
+  5. one visibility ray shades the winner:
      L = contrib/p_hat * W * V  (+ direct emission / environment).
 
-This pass renders DIRECT lighting; progressive PT supplies indirect light
-(RenderSession composes them when ``restir`` is on).
+This pass renders DIRECT lighting; RenderSession composes it with an
+indirect-only progressive PT pass when ``use_restir`` is on, and the CLI
+exposes it as ``--integrator=restir``.
 """
 
 from __future__ import annotations
@@ -65,11 +70,44 @@ def init_restir(num_pixels: int) -> RestirState:
     return RestirState(z3, z3, z3, jnp.zeros((num_pixels,), bool), z, z, z)
 
 
+def _pack_state(s: RestirState) -> jnp.ndarray:
+    """[N,16] single-row packing so neighbor/history fetches cost ONE gather
+    (XLA gathers ~5ns/row; 7 separate fetches would 7x that)."""
+    return jnp.concatenate(
+        [
+            s.light_pos, s.light_normal, s.light_radiance,
+            s.is_env.astype(jnp.float32)[:, None],
+            s.target_pdf[:, None], s.total_weight[:, None], s.m[:, None],
+            jnp.zeros((s.m.shape[0], 3), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def _unpack_state(p: jnp.ndarray) -> RestirState:
+    return RestirState(
+        light_pos=p[:, 0:3],
+        light_normal=p[:, 3:6],
+        light_radiance=p[:, 6:9],
+        is_env=p[:, 9] > 0.5,
+        target_pdf=p[:, 10],
+        total_weight=p[:, 11],
+        m=p[:, 12],
+    )
+
+
 def restir_di(
     scene, view, cfg: RenderConfig, state: RestirState, seed,
     candidates: int = 4, history_limit: float = 20.0,
+    prev_view=None, spatial_taps: int = 0,
 ):
-    """One ReSTIR DI frame. Returns (new_state, direct_radiance [H,W,3])."""
+    """One ReSTIR DI frame. Returns (new_state, direct_radiance [H,W,3]).
+
+    ``prev_view``: the view ``state`` was rendered with; when given, history
+    is fetched at each first hit's pixel in that view (temporal
+    reprojection; reference: prev-frame hashgrid lookups keyed by world
+    position, path.hlsli:432-487). ``spatial_taps`` > 0 additionally merges
+    that many random same-cell neighbors via the world-space hash grid."""
     bsdf_eval, _ = _bsdf_fns(cfg)
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
     geo = scene.geo
@@ -131,37 +169,93 @@ def restir_di(
             p_hat, w, u[..., 3],
         )
 
-    # -- temporal merge (prev frame's reservoir at the same pixel) ----------
+    # -- temporal merge (prev frame's reservoir, reprojected) ---------------
     # ReSTIR temporal math: the previous sample re-enters with weight
     # w = p_hat_new * W_prev * M_clamped, where W_prev is the stored
     # contribution weight and p_hat_new re-evaluates the sample's target at
     # the CURRENT surface (jittered subpixel -> slightly different point)
-    m_clamped = jnp.minimum(state.m, history_limit * candidates)
-    w_prev_contrib = smath.safe_div(
-        state.total_weight,
-        state.m * jnp.maximum(state.target_pdf, 1e-20),
-    )  # stored W_prev
-    prev_contrib, _, _ = unshadowed(
-        state.light_pos, state.light_normal, state.light_radiance,
-        state.is_env,
-    )
-    p_hat_prev = smath.luminance(prev_contrib)
-    w_prev = p_hat_prev * w_prev_contrib * m_clamped
+    if prev_view is not None:
+        # fetch history at this hit's pixel in the PREVIOUS view: reuse
+        # survives camera motion (reference: world-keyed hashgrid lookups)
+        pix, inside, _ = scamera.sensor_importance(
+            prev_view, sp.position, cfg.width, cfg.height
+        )
+        pxi = jnp.clip(pix[..., 0].astype(jnp.int32), 0, cfg.width - 1)
+        pyi = jnp.clip(pix[..., 1].astype(jnp.int32), 0, cfg.height - 1)
+        hist_row = _pack_state(state)[pyi * cfg.width + pxi]
+        hist = _unpack_state(hist_row)
+        hist_ok = inside & hit.hit
+        hist = hist._replace(m=jnp.where(hist_ok, hist.m, 0.0))
+    else:
+        hist = state
+
+    def merge_in(res, other: RestirState, u_merge, m_cap):
+        """Stream another reservoir's kept sample into ``res`` with weight
+        p_hat_here * W_other * M_other (the standard reuse merge)."""
+        m_other = jnp.minimum(other.m, m_cap)
+        w_contrib = smath.safe_div(
+            other.total_weight,
+            other.m * jnp.maximum(other.target_pdf, 1e-20),
+        )  # stored W
+        contrib_o, _, _ = unshadowed(
+            other.light_pos, other.light_normal, other.light_radiance,
+            other.is_env,
+        )
+        p_hat_o = smath.luminance(contrib_o)
+        w_o = p_hat_o * w_contrib * m_other
+        total = res.total_weight + w_o
+        keep = (u_merge * jnp.maximum(total, 1e-20)) < w_o
+        sample = sres._tree_select(
+            keep,
+            dict(pos=other.light_pos, nrm=other.light_normal,
+                 rad=other.light_radiance, env=other.is_env),
+            res.sample,
+        )
+        return sres.Reservoir(
+            sample=sample,
+            target_pdf=jnp.where(keep, p_hat_o, res.target_pdf),
+            total_weight=total,
+            m=res.m + m_other,
+        )
+
     u_merge, st = srng.next_float(st)
-    total = res.total_weight + w_prev
-    keep_prev = (u_merge * jnp.maximum(total, 1e-20)) < w_prev
-    merged_sample = sres._tree_select(
-        keep_prev,
-        dict(pos=state.light_pos, nrm=state.light_normal,
-             rad=state.light_radiance, env=state.is_env),
-        res.sample,
-    )
-    merged = sres.Reservoir(
-        sample=merged_sample,
-        target_pdf=jnp.where(keep_prev, p_hat_prev, res.target_pdf),
-        total_weight=total,
-        m=res.m + m_clamped,
-    )
+    merged = merge_in(res, hist, u_merge, history_limit * candidates)
+
+    # -- spatial reuse: same-cell neighbors via the world hash grid ---------
+    # (reference: connect_light_reservoir's prev-frame spatial taps,
+    # path.hlsli:432-487; the grid is ops/hashgrid.py's sort-rebuilt form)
+    if spatial_taps > 0:
+        from stratum_tpu.ops import hashgrid as shg
+
+        cam_pos = view.camera_to_world[:, 3]
+        cell = shg.cell_size_for(cam_pos, sp.position, 2.0e-3)
+        grid = shg.build_hashgrid(sp.position, cell)
+        ids, valid = shg.query(grid, sp.position, max_results=8)
+        packed = _pack_state(
+            RestirState(
+                light_pos=merged.sample["pos"],
+                light_normal=merged.sample["nrm"],
+                light_radiance=merged.sample["rad"],
+                is_env=merged.sample["env"],
+                target_pdf=merged.target_pdf,
+                total_weight=merged.total_weight,
+                m=merged.m,
+            )
+        )
+        for _t in range(spatial_taps):
+            u, st = srng.next_floats(st, 2)
+            n_valid = jnp.sum(valid, axis=-1)
+            pick = jnp.minimum(
+                (u[..., 0] * n_valid).astype(jnp.int32),
+                jnp.maximum(n_valid - 1, 0),
+            )
+            nid = jnp.take_along_axis(ids, pick[:, None], axis=-1)[:, 0]
+            ok = (n_valid > 0) & (nid >= 0) & (nid != jnp.arange(n)) & hit.hit
+            nb = _unpack_state(packed[jnp.maximum(nid, 0)])
+            nb = nb._replace(m=jnp.where(ok, nb.m, 0.0))
+            merged = merge_in(
+                merged, nb, u[..., 1], history_limit * candidates
+            )
 
     # -- shade the winner ----------------------------------------------------
     contrib, wi, dist = unshadowed(
@@ -198,7 +292,10 @@ def restir_di(
     return new_state, direct.reshape(cfg.height, cfg.width, 3)
 
 
-@partial(jax.jit, static_argnums=(2, 5, 6))
+@partial(jax.jit, static_argnums=(2, 5, 6, 8))
 def restir_di_jit(scene, view, cfg, state, seed, candidates=4,
-                  history_limit=20.0):
-    return restir_di(scene, view, cfg, state, seed, candidates, history_limit)
+                  history_limit=20.0, prev_view=None, spatial_taps=0):
+    return restir_di(
+        scene, view, cfg, state, seed, candidates, history_limit,
+        prev_view, spatial_taps,
+    )

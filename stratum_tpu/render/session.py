@@ -34,13 +34,18 @@ class RenderSession:
         default_factory=sdenoise.DenoiseConfig
     )
     mesh: object = None  # optional jax.sharding.Mesh for multi-chip
+    use_restir: bool = False  # ReSTIR DI + indirect-only PT composition
+    restir_candidates: int = 4
+    restir_spatial_taps: int = 0
 
     accum: jnp.ndarray = None  # [H,W,3] radiance sum
     spp: int = 0
     seed0: int = 0
     prev_view: object = None
     denoise_state: sdenoise.DenoiseState = None
+    restir_state: object = None  # restir.RestirState reservoir carrier
     _gbuffer: saov.GBuffer = None
+    _restir_prev_view: object = None  # view the reservoirs were shaded with
 
     def __post_init__(self):
         h, w = self.cfg.height, self.cfg.width
@@ -50,17 +55,24 @@ class RenderSession:
             self.prev_view = self.view
         if self.denoise_state is None:
             self.denoise_state = sdenoise.init_state(h, w)
+        if self.use_restir and self.restir_state is None:
+            from stratum_tpu.render import restir as srestir
+
+            self.restir_state = srestir.init_restir(h * w)
 
     # -- camera / scene changes -------------------------------------------
     def set_view(self, view):
         """Move the camera: restart accumulation, keep denoiser history for
         reprojection (reference: accumulation reset on camera move,
-        Denoiser.cpp:176-177)."""
+        Denoiser.cpp:176-177). ReSTIR reservoirs survive the move — the next
+        frame reprojects them through the previous view."""
         self.prev_view = self.view
         self.view = view
         self.accum = jnp.zeros_like(self.accum)
         self.spp = 0
         self._gbuffer = None
+        if self.use_restir:
+            self._restir_prev_view = self.prev_view
 
     def reset(self):
         """Full reset (reference: F5 behavior)."""
@@ -70,6 +82,13 @@ class RenderSession:
             self.cfg.height, self.cfg.width
         )
         self._gbuffer = None
+        if self.use_restir:
+            from stratum_tpu.render import restir as srestir
+
+            self.restir_state = srestir.init_restir(
+                self.cfg.height * self.cfg.width
+            )
+            self._restir_prev_view = None
 
     # -- stepping ----------------------------------------------------------
     def gbuffer(self) -> saov.GBuffer:
@@ -81,18 +100,35 @@ class RenderSession:
 
     def step(self, samples: int = 1):
         """Advance ``samples`` progressive samples; returns the current
-        (accumulated, not tonemapped) radiance estimate."""
+        (accumulated, not tonemapped) radiance estimate. With ``use_restir``
+        each sample is ReSTIR DI (reservoirs persist across samples AND
+        camera moves via reprojection) + an indirect-only PT sample."""
         for _ in range(samples):
-            if self.mesh is not None:
+            seed = self.seed0 + self.spp
+            if self.use_restir:
+                import dataclasses as _dc
+
+                from stratum_tpu.render import restir as srestir
+
+                self.restir_state, direct = srestir.restir_di_jit(
+                    self.scene, self.view, self.cfg, self.restir_state,
+                    seed, self.restir_candidates, 20.0,
+                    self._restir_prev_view, self.restir_spatial_taps,
+                )
+                self._restir_prev_view = None  # consumed: state now current
+                icfg = _dc.replace(self.cfg, indirect_only=True)
+                img = direct + sintegrator.render_path(
+                    self.scene, self.view, icfg, seed
+                )
+            elif self.mesh is not None:
                 from stratum_tpu.parallel import mesh as pmesh
 
                 img = pmesh._render_sharded_jit(
-                    self.scene, self.view, self.cfg, self.seed0 + self.spp,
-                    self.mesh,
+                    self.scene, self.view, self.cfg, seed, self.mesh,
                 )
             else:
                 img = sintegrator.render_path(
-                    self.scene, self.view, self.cfg, self.seed0 + self.spp
+                    self.scene, self.view, self.cfg, seed
                 )
             self.accum = self.accum + img
             self.spp += 1
