@@ -48,8 +48,24 @@ def pack_leaf_features(fat) -> jnp.ndarray:
     return jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
 
 
-def _kernel(ncand_sp, rays_ref, cand_hbm, centry_hbm, feat_hbm, out_ref,
-            buf, dsem, cand_s, centry_s, csem):
+def pack_leaf_aabbs(fat) -> jnp.ndarray:
+    """FatBVH -> [ceil(L/8), 8, 8] f32: leaf l's row is (l//8, l%8) =
+    (lo.xyz, hi.xyz, 0, 0) — tile-aligned [8, 8] groups so the kernel can
+    DMA one group per visit into SMEM for the per-ray slab pre-test."""
+    L = fat.leaf_lo.shape[0]
+    lp = -(-L // 8) * 8
+    big = jnp.float32(3.0e37)
+    lo = jnp.pad(fat.leaf_lo, ((0, lp - L), (0, 0)), constant_values=big)
+    hi = jnp.pad(fat.leaf_hi, ((0, lp - L), (0, 0)), constant_values=-big)
+    rows = jnp.concatenate(
+        [lo, hi, jnp.zeros((lp, 2), jnp.float32)], axis=1
+    )  # [lp, 8]
+    return rows.reshape(lp // 8, 8, 8)
+
+
+def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
+            feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
+            aabb_s, asem, best_ref, slot_ref):
     b = pl.program_id(0)
     # stage this block's candidate metadata into SMEM. The arrays are packed
     # [nb, 8, C8] (element c at row c%8, col c//8) so the per-block slice is
@@ -61,6 +77,7 @@ def _kernel(ncand_sp, rays_ref, cand_hbm, centry_hbm, feat_hbm, out_ref,
     n_cand = ncand_sp[b]
     rays = rays_ref[0]  # [B, 16]
     t_max = rays_ref[0, :, 10:11]  # [B, 1]
+    geom = geom_ref[0]  # [B, 8] = origin xyz, inv_dir xyz, 0, 0
     B = rays.shape[0]
     k4 = buf.shape[2]
     k = k4 // 4
@@ -76,83 +93,247 @@ def _kernel(ncand_sp, rays_ref, cand_hbm, centry_hbm, feat_hbm, out_ref,
             feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
         )
 
+    def adma(slot, c):
+        return pltpu.make_async_copy(
+            aabb_hbm.at[cand_at(c) // 8], aabb_s.at[slot], asem.at[slot]
+        )
+
+    best_ref[...] = t_max
+    slot_ref[...] = jnp.full((B, 1), -1.0, jnp.float32)
+
     @pl.when(n_cand > 0)
     def _():
         dma(0, 0).start()
+        adma(0, 0).start()
 
     def cond(state):
-        c, best_t, _, _, _ = state
-        return (c < n_cand) & (centry_at(c) < jnp.max(best_t))
+        c, max_best = state
+        return (c < n_cand) & (centry_at(c) < max_best)
 
     def body(state):
-        c, best_t, best_slot, best_u, best_v = state
+        c, _ = state
         slot = lax.rem(c, 2)
         nxt = c + 1
 
         @pl.when(nxt < n_cand)
         def _():
             dma(lax.rem(nxt, 2), nxt).start()
+            adma(lax.rem(nxt, 2), nxt).start()
 
-        dma(slot, c).wait()
-        out = jax.lax.dot_general(
-            rays, buf[slot], (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-        )  # [B, 4K]
-        a = out[:, 0 * k : 1 * k]
-        u_num = out[:, 1 * k : 2 * k]
-        v_num = out[:, 2 * k : 3 * k]
-        t_num = out[:, 3 * k : 4 * k]
-        inv_a = jnp.where(
-            jnp.abs(a) > 1e-12, 1.0 / jnp.where(a != 0.0, a, 1.0), 0.0
+        leaf = cand_at(c)
+        adma(slot, c).wait()
+        row = lax.rem(leaf, 8)
+        # per-ray slab pre-test against this leaf's AABB: skips the whole
+        # matmul + epilogue when no ray can still improve inside the leaf
+        # (per-ray best-t is far tighter than the block-level entry test
+        # the host-side prep used). ~20 VPU ops on [B,1] vs ~20 on [B,K].
+        best_t = best_ref[...]
+        ox, oy, oz = geom[:, 0:1], geom[:, 1:2], geom[:, 2:3]
+        ix, iy, iz = geom[:, 3:4], geom[:, 4:5], geom[:, 5:6]
+        t0x = (aabb_s[slot, row, 0] - ox) * ix
+        t1x = (aabb_s[slot, row, 3] - ox) * ix
+        t0y = (aabb_s[slot, row, 1] - oy) * iy
+        t1y = (aabb_s[slot, row, 4] - oy) * iy
+        t0z = (aabb_s[slot, row, 2] - oz) * iz
+        t1z = (aabb_s[slot, row, 5] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
         )
-        uu = u_num * inv_a
-        vv = v_num * inv_a
-        tt = t_num * inv_a
-        valid = (
-            (jnp.abs(a) > 1e-12)
-            & (uu >= 0.0)
-            & (vv >= 0.0)
-            & (uu + vv <= 1.0)
-            & (tt > 1e-4)
-            & (tt < best_t)
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
         )
-        tt = jnp.where(valid, tt, T_MAX)
-        # Mosaic has no general gather: select the per-ray argmin via a
-        # one-hot reduction instead of take_along_axis
-        kbest = jnp.argmin(tt, axis=1)  # [B]
-        onehot = (
-            lax.broadcasted_iota(jnp.int32, tt.shape, 1) == kbest[:, None]
-        ).astype(tt.dtype)
-        tk = jnp.sum(tt * onehot, axis=1, keepdims=True)
-        uk = jnp.sum(uu * onehot, axis=1, keepdims=True)
-        vk = jnp.sum(vv * onehot, axis=1, keepdims=True)
-        closer = tk < best_t
-        slot_id = (cand_at(c) * k + kbest).astype(jnp.float32)[:, None]
-        best_t = jnp.where(closer, tk, best_t)
-        best_slot = jnp.where(closer, slot_id, best_slot)
-        best_u = jnp.where(closer, uk, best_u)
-        best_v = jnp.where(closer, vk, best_v)
-        return nxt, best_t, best_slot, best_u, best_v
+        want = jnp.any((tn <= tf) & (tn < best_t))
 
-    state = (
-        jnp.asarray(0, jnp.int32),
-        t_max,
-        jnp.full((B, 1), -1.0, jnp.float32),
-        jnp.zeros((B, 1), jnp.float32),
-        jnp.zeros((B, 1), jnp.float32),
-    )
-    c_final, best_t, best_slot, best_u, best_v = lax.while_loop(
-        cond, body, state
-    )
+        dma(slot, c).wait()  # started unconditionally: always consume
 
-    # drain: an early exit leaves the prefetched next-leaf DMA in flight;
-    # its semaphore must be consumed or it corrupts the next grid step
+        @pl.when(want)
+        def _():
+            out = jax.lax.dot_general(
+                rays, buf[slot], (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+            )  # [B, 4K]
+            a = out[:, 0 * k : 1 * k]
+            u_num = out[:, 1 * k : 2 * k]
+            v_num = out[:, 2 * k : 3 * k]
+            t_num = out[:, 3 * k : 4 * k]
+            best_t = best_ref[...]
+            # sign-normalized MT tests: no predicated reciprocal for the
+            # validity mask; the division survives only for ordering
+            s = jnp.sign(a)
+            abs_a = a * s
+            su = u_num * s
+            sv = v_num * s
+            stn = t_num * s
+            valid = (
+                (abs_a > 1e-12)
+                & (su >= 0.0)
+                & (sv >= 0.0)
+                & (su + sv <= abs_a)
+                & (stn > 1e-4 * abs_a)
+                & (stn < best_t * abs_a)
+            )
+            tt = jnp.where(
+                valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
+            )
+            # Mosaic has no general gather: select the per-ray argmin via a
+            # one-hot reduction. Barycentrics of the winner are recomputed
+            # OUTSIDE the kernel from its feature row (one XLA gather) —
+            # keeping u/v here costs two more [B,K] reductions per visit.
+            kbest = jnp.argmin(tt, axis=1)  # [B]
+            onehot = (
+                lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                == kbest[:, None]
+            ).astype(tt.dtype)
+            tk = jnp.sum(tt * onehot, axis=1, keepdims=True)
+            closer = tk < best_t
+            slot_id = (leaf * k + kbest).astype(jnp.float32)[:, None]
+            best_ref[...] = jnp.where(closer, tk, best_t)
+            slot_ref[...] = jnp.where(closer, slot_id, slot_ref[...])
+
+        return nxt, jnp.max(best_ref[...])
+
+    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max))
+    c_final, _ = lax.while_loop(cond, body, state)
+
+    # drain: an early exit leaves the prefetched next-leaf DMAs in flight;
+    # their semaphores must be consumed or they corrupt later grid steps
     @pl.when(c_final < n_cand)
     def _():
         dma(lax.rem(c_final, 2), c_final).wait()
+        adma(lax.rem(c_final, 2), c_final).wait()
 
     out_ref[0] = jnp.concatenate(
-        [best_t, best_slot, best_u, best_v], axis=1
+        [best_ref[...], slot_ref[...], jnp.zeros((B, 2), jnp.float32)],
+        axis=1,
+    )
+
+
+def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
+                aabb_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
+                csem, aabb_s, asem, best_ref, slot_ref):
+    """Any-hit variant: a committed hit zeroes the ray's t bound, so the
+    front-to-back loop exits as soon as every ray is blocked (or no
+    candidate leaf starts inside a surviving segment) — the reference's
+    shadow-ray RayQuery commits the first hit the same way
+    (intersection.hlsli:192-239). Shares the per-ray AABB pre-test with the
+    closest kernel: leaves no unblocked ray's segment touches are skipped
+    before the matmul."""
+    b = pl.program_id(0)
+    pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).start()
+    pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).start()
+    pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).wait()
+    pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).wait()
+    n_cand = ncand_sp[b]
+    rays = rays_ref[0]  # [B, 16]
+    t_max = rays_ref[0, :, 10:11]  # [B, 1] (0 for dead lanes)
+    geom = geom_ref[0]  # [B, 8]
+    B = rays.shape[0]
+    k4 = buf.shape[2]
+    k = k4 // 4
+
+    def cand_at(c):
+        return cand_s[lax.rem(c, 8), c // 8]
+
+    def centry_at(c):
+        return centry_s[lax.rem(c, 8), c // 8]
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
+        )
+
+    def adma(slot, c):
+        return pltpu.make_async_copy(
+            aabb_hbm.at[cand_at(c) // 8], aabb_s.at[slot], asem.at[slot]
+        )
+
+    best_ref[...] = t_max  # the surviving t bound; 0 = blocked/dead
+
+    @pl.when(n_cand > 0)
+    def _():
+        dma(0, 0).start()
+        adma(0, 0).start()
+
+    def cond(state):
+        c, max_bound = state
+        return (c < n_cand) & (centry_at(c) < max_bound)
+
+    def body(state):
+        c, _ = state
+        slot = lax.rem(c, 2)
+        nxt = c + 1
+
+        @pl.when(nxt < n_cand)
+        def _():
+            dma(lax.rem(nxt, 2), nxt).start()
+            adma(lax.rem(nxt, 2), nxt).start()
+
+        leaf = cand_at(c)
+        adma(slot, c).wait()
+        row = lax.rem(leaf, 8)
+        bound = best_ref[...]
+        ox, oy, oz = geom[:, 0:1], geom[:, 1:2], geom[:, 2:3]
+        ix, iy, iz = geom[:, 3:4], geom[:, 4:5], geom[:, 5:6]
+        t0x = (aabb_s[slot, row, 0] - ox) * ix
+        t1x = (aabb_s[slot, row, 3] - ox) * ix
+        t0y = (aabb_s[slot, row, 1] - oy) * iy
+        t1y = (aabb_s[slot, row, 4] - oy) * iy
+        t0z = (aabb_s[slot, row, 2] - oz) * iz
+        t1z = (aabb_s[slot, row, 5] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        want = jnp.any((tn <= tf) & (tn < bound))
+
+        dma(slot, c).wait()
+
+        @pl.when(want)
+        def _():
+            out = jax.lax.dot_general(
+                rays, buf[slot], (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+            )  # [B, 4K]
+            a = out[:, 0 * k : 1 * k]
+            u_num = out[:, 1 * k : 2 * k]
+            v_num = out[:, 2 * k : 3 * k]
+            t_num = out[:, 3 * k : 4 * k]
+            bound = best_ref[...]
+            s = jnp.sign(a)
+            abs_a = a * s
+            su = u_num * s
+            sv = v_num * s
+            stn = t_num * s
+            valid = (
+                (abs_a > 1e-12)
+                & (su >= 0.0)
+                & (sv >= 0.0)
+                & (su + sv <= abs_a)
+                & (stn > 1e-4 * abs_a)
+                & (stn < bound * abs_a)
+            )
+            blocked = jnp.any(valid, axis=1, keepdims=True)  # [B, 1]
+            best_ref[...] = jnp.where(blocked, 0.0, bound)
+
+        return nxt, jnp.max(best_ref[...])
+
+    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max))
+    c_final, _ = lax.while_loop(cond, body, state)
+
+    @pl.when(c_final < n_cand)
+    def _():
+        dma(lax.rem(c_final, 2), c_final).wait()
+        adma(lax.rem(c_final, 2), c_final).wait()
+
+    blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
+    out_ref[0] = jnp.broadcast_to(
+        blocked.astype(jnp.float32), (B, out_ref.shape[2])
     )
 
 
@@ -167,24 +348,28 @@ def _pack8(arr, fill):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block")
+    jax.jit, static_argnames=("interpret", "block", "kernel_name")
 )
-def _run_blocks(rays, cand, centry, ncand, leaf_feat, interpret=False,
-                block=BLOCK):
+def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
+                interpret=False, block=BLOCK, kernel_name="closest"):
     nb, c_max = cand.shape
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
+    kernel = _kernel if kernel_name == "closest" else _kernel_occ
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, block, 16), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block, 8), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),  # geom
                 pl.BlockSpec(memory_space=pltpu.HBM),  # cand8 [nb, 8, C8]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # centry8 [nb, 8, C8]
+                pl.BlockSpec(memory_space=pltpu.HBM),  # aabb [L/8, 8, 8]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # leaf features
             ],
             out_specs=pl.BlockSpec((1, block, 4), lambda b, *_: (b, 0, 0),
@@ -195,12 +380,21 @@ def _run_blocks(rays, cand, centry, ncand, leaf_feat, interpret=False,
                 pltpu.SMEM((8, c8), jnp.int32),
                 pltpu.SMEM((8, c8), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((2, 8, 8), jnp.float32),  # aabb double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((block, 1), jnp.float32),  # best_ref
+                pltpu.VMEM((block, 1), jnp.float32),  # slot_ref
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nb, block, 4), jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ncand.reshape(-1), rays, cand8, centry8, leaf_feat)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # v5e has 128M VMEM; the default 16M scoped budget rejects
+            # larger (block, K) combinations that comfortably fit
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(ncand.reshape(-1), rays, geom, cand8, centry8, aabb, leaf_feat)
 
 
 def _prepare(fat, origin, direction, t_min, t_max, block):
@@ -242,7 +436,13 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
     rays = jnp.concatenate(
         [rf, tm[..., None], jnp.zeros((nb, block, 5), jnp.float32)], axis=-1
     )
-    return rays, order, sorted_entry, ncand, n
+    inv_d = jnp.where(
+        jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20
+    )
+    geom = jnp.concatenate(
+        [o, inv_d, jnp.zeros((nb, block, 2), jnp.float32)], axis=-1
+    )
+    return rays, geom, order, sorted_entry, ncand, n
 
 
 def pallas_closest(
@@ -254,12 +454,12 @@ def pallas_closest(
     n = origin.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
-    rays, cand, centry, ncand, n = _prepare(
+    rays, geom, cand, centry, ncand, n = _prepare(
         fat, origin, direction, t_min, t_max, block
     )
     out = _run_blocks(
-        rays, cand, centry, ncand, leaf_feat_packed,
-        interpret=interpret, block=block,
+        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
+        leaf_feat_packed, interpret=interpret, block=block,
     )
     out = out.reshape(-1, 4)[:n]
     k = fat.leaf_tri.shape[1]
@@ -269,17 +469,35 @@ def pallas_closest(
         hit, fat.leaf_tri.reshape(-1)[jnp.maximum(slot, 0)], -1
     )
     best_t = jnp.where(tri >= 0, out[:, 0], T_MAX)
-    return HitRecord(t=best_t, tri=tri, bary=out[:, 2:4])
+    # barycentrics of the winner: one feature-row gather + a 10-dot — far
+    # cheaper than carrying two extra [B,K] reductions through every leaf
+    # visit inside the kernel
+    from stratum_tpu.ops import mxu as smxu
+
+    row = fat.leaf_feat.reshape(-1, 10, 4)[jnp.maximum(slot, 0)]  # [N,10,4]
+    rf = smxu.ray_features(origin, direction)  # [N,10]
+    q = jnp.einsum("nf,nfq->nq", rf, row,
+                   precision=jax.lax.Precision.HIGHEST)
+    inv_a = jnp.where(jnp.abs(q[:, 0]) > 1e-12, 1.0 / q[:, 0], 0.0)
+    bary = jnp.stack([q[:, 1] * inv_a, q[:, 2] * inv_a], axis=-1)
+    bary = jnp.where(hit[:, None], bary, 0.0)
+    return HitRecord(t=best_t, tri=tri, bary=bary)
 
 
 def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     block: int = BLOCK, interpret: bool = False,
 ):
-    """Any-hit via the closest kernel bounded to the segment."""
+    """Any-hit through the dedicated early-exit kernel: a commit zeroes the
+    ray's t bound so fully-blocked blocks stop visiting leaves immediately
+    (reference: shadow RayQuery first-commit, intersection.hlsli:192-239)."""
     limit = t_max * np.float32(1.0 - 1e-3)
-    hit = pallas_closest(
-        fat, leaf_feat_packed, origin, direction, t_min, limit,
-        block=block, interpret=interpret,
+    rays, geom, cand, centry, ncand, n = _prepare(
+        fat, origin, direction, t_min, limit, block
     )
-    return hit.tri >= 0
+    out = _run_blocks(
+        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
+        leaf_feat_packed, interpret=interpret, block=block,
+        kernel_name="occluded",
+    )
+    return out.reshape(-1, 4)[:n, 0] > 0.5

@@ -32,6 +32,7 @@ from stratum_tpu.render.shading import (
     apply_textures,
     load_material,
     make_shading_point,
+    shadow_terminator_factor,
 )
 from stratum_tpu.scene.schema import SceneData
 
@@ -473,7 +474,10 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             solid-angle pdf of BSDF/phase sampling, for MIS."""
             wi_local = smath.to_local(wi, ns)
             ev = bsdf_eval(mat, wo_local, wi_local)
-            f = ev.f * jnp.abs(wi_local[..., 2])[..., None]
+            # shading-normal shadow-terminator softening (path.hlsli:67-98;
+            # Chiang-Li-Burley 2019) — no-op where ns == ng
+            term = shadow_terminator_factor(sp.geom_normal, ns, wi)
+            f = ev.f * (jnp.abs(wi_local[..., 2]) * term)[..., None]
             pdf_fwd = ev.pdf_fwd
             if has_media:
                 ph = smedium.hg_phase(m_g, smath.dot(direction, wi))
@@ -587,8 +591,9 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         u, st = srng.next_floats(st, 3)
         bs = bsdf_sample(mat, wo_local, u)
         new_dir = smath.to_world(bs.wi, ns)
+        term = shadow_terminator_factor(sp.geom_normal, ns, new_dir)
         throughput = bs.f * smath.safe_div(
-            jnp.abs(bs.wi[..., 2]), bs.pdf_fwd
+            jnp.abs(bs.wi[..., 2]) * term, bs.pdf_fwd
         )[..., None]
         new_origin = intersect.ray_offset(
             sp.position, sp.geom_normal * jnp.sign(bs.wi[..., 2:3])
@@ -672,7 +677,7 @@ def render_path(scene: SceneData, view, cfg: RenderConfig, seed):
     (pixel-keyed RNG)."""
     dims = (
         scamera.tile_dims(cfg.width, cfg.height)
-        if resolved_tracer(scene, cfg) == "packet"
+        if resolved_tracer(scene, cfg) in ("packet", "pallas")
         else None
     )
     if dims is None:
@@ -688,8 +693,18 @@ def render_path(scene: SceneData, view, cfg: RenderConfig, seed):
 def render_path_with_counts(scene: SceneData, view, cfg: RenderConfig, seed):
     """As render_path but also returns the traced-ray count (closest +
     shadow rays actually alive), for rays/sec reporting."""
-    rad, n_rays = trace_path(scene, view, cfg, seed)
-    return rad.reshape(cfg.height, cfg.width, 3), n_rays
+    dims = (
+        scamera.tile_dims(cfg.width, cfg.height)
+        if resolved_tracer(scene, cfg) in ("packet", "pallas")
+        else None
+    )
+    if dims is None:
+        rad, n_rays = trace_path(scene, view, cfg, seed)
+        return rad.reshape(cfg.height, cfg.width, 3), n_rays
+    th, tw = dims
+    px, py = scamera.pixel_grid_tiled(cfg.width, cfg.height, th, tw)
+    rad, n_rays = trace_path(scene, view, cfg, seed, px, py)
+    return scamera.untile_image(rad, cfg.width, cfg.height, th, tw), n_rays
 
 
 def render_path_progressive(scene, view, cfg: RenderConfig, spp: int, seed0=0):

@@ -34,6 +34,7 @@ from stratum_tpu.render import camera as scamera
 from stratum_tpu.render import lights as slights
 from stratum_tpu.render.integrator import RenderConfig, _bsdf_fns, _trace_fns
 from stratum_tpu.render.shading import (
+    adjoint_ns_factor,
     apply_textures,
     load_material,
     make_shading_point,
@@ -132,15 +133,17 @@ def trace_light(
         # connect this vertex to the camera
         to_cam = cam_pos - sp.position
         dist_c = smath.length(to_cam)
-        wi_cam_local = smath.to_local(
-            to_cam / jnp.maximum(dist_c, 1e-20)[..., None], ns
-        )
+        wi_cam_w = to_cam / jnp.maximum(dist_c, 1e-20)[..., None]
+        wi_cam_local = smath.to_local(wi_cam_w, ns)
         ev = bsdf_eval(mat, wo_local, wi_cam_local)
         w_cam = cam_factor(sp.position)
+        # shading-normal adjoint: importance transport weighted by |ns.wi|
+        # needs Veach's cosine-ratio correction (path.hlsli:67-98 adjoint)
+        adj_ns = adjoint_ns_factor(sp.geom_normal, ns, -direction, wi_cam_w)
         contrib = (
             beta
             * ev.f
-            * (jnp.abs(wi_cam_local[..., 2]) * w_cam / n)[..., None]
+            * (jnp.abs(wi_cam_local[..., 2]) * adj_ns * w_cam / n)[..., None]
         )
         ok = alive & (jnp.max(contrib, axis=-1) > 0)
         image, _, _ = splat(image, sp.position, sp.geom_normal, contrib, ok)
@@ -154,6 +157,7 @@ def trace_light(
         # adjoint correction for refraction: importance transport carries
         # eta^2 relative to radiance transport (path.hlsli:67-98 adjoint)
         adj = jnp.where(bs.eta > 0, bs.eta * bs.eta, 1.0)
+        adj = adj * adjoint_ns_factor(sp.geom_normal, ns, -direction, new_dir)
         thr = thr * adj[..., None]
         beta = beta * jnp.where(alive[..., None], thr, 1.0)
         alive = alive & (bs.pdf_fwd > 1e-12) & (jnp.max(beta, axis=-1) > 0)

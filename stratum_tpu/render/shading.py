@@ -194,3 +194,32 @@ def load_material(materials: DisneyMaterials, material_row) -> MaterialSample:
         transmission=row[..., 12],
         eta=row[..., 13],
     )
+
+
+def shadow_terminator_factor(ng, ns, wi):
+    """Shading-normal shadow-terminator softening (Chiang, Li, Burley,
+    "Taming the Shadow Terminator", SIGGRAPH 2019 talk) — the published
+    technique behind the reference's shading-normal correction
+    (src/Shaders/common/path.hlsli:67-98). Shading normals make the
+    BSDF-weighted cosine overshoot near the geometric horizon; the cubic
+    G = g + g^2 - g^3 of g = |ng.wi| / (|ns.wi| |ng.ns|) rolls illumination
+    off smoothly instead of clipping to a hard black terminator.
+
+    Returns a [N] multiplier in [0, 1]; exactly 1 when ns == ng.
+    """
+    num = jnp.abs(smath.dot(ng, wi))
+    den = jnp.abs(smath.dot(ns, wi)) * jnp.abs(smath.dot(ng, ns))
+    g = jnp.clip(smath.safe_div(num, den), 0.0, 1.0)
+    return g * (1.0 + g - g * g)
+
+
+def adjoint_ns_factor(ng, ns, wo, wi):
+    """Shading-normal non-symmetry correction for importance transport
+    (Veach 1997 eq. 5.17; the adjoint factor of path.hlsli:67-98): light
+    (adjoint) paths weighting by |ns.wi| must be corrected by
+    |ns.wo||ng.wi| / (|ng.wo||ns.wi|) so light and camera transport agree.
+    Clamped to [0, 4] against horizon blowups (standard practice).
+    """
+    num = jnp.abs(smath.dot(ns, wo)) * jnp.abs(smath.dot(ng, wi))
+    den = jnp.abs(smath.dot(ng, wo)) * jnp.abs(smath.dot(ns, wi))
+    return jnp.clip(smath.safe_div(num, den), 0.0, 4.0)
