@@ -49,18 +49,19 @@ def pack_leaf_features(fat) -> jnp.ndarray:
 
 
 def pack_leaf_aabbs(fat) -> jnp.ndarray:
-    """FatBVH -> [ceil(L/8), 8, 8] f32: leaf l's row is (l//8, l%8) =
-    (lo.xyz, hi.xyz, 0, 0) — tile-aligned [8, 8] groups so the kernel can
-    DMA one group per visit into SMEM for the per-ray slab pre-test."""
+    """FatBVH -> [ceil(L/8), 8, 128] f32: leaf l's row is (l//8, l%8) =
+    (lo.xyz, hi.xyz, 0...) — [8, 128] groups (Mosaic DMA slices must be
+    lane-tile aligned) so the kernel can DMA one group per visit into SMEM
+    for the per-ray slab pre-test."""
     L = fat.leaf_lo.shape[0]
     lp = -(-L // 8) * 8
     big = jnp.float32(3.0e37)
     lo = jnp.pad(fat.leaf_lo, ((0, lp - L), (0, 0)), constant_values=big)
     hi = jnp.pad(fat.leaf_hi, ((0, lp - L), (0, 0)), constant_values=-big)
     rows = jnp.concatenate(
-        [lo, hi, jnp.zeros((lp, 2), jnp.float32)], axis=1
-    )  # [lp, 8]
-    return rows.reshape(lp // 8, 8, 8)
+        [lo, hi, jnp.zeros((lp, 122), jnp.float32)], axis=1
+    )  # [lp, 128]
+    return rows.reshape(lp // 8, 8, 128)
 
 
 def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
@@ -380,7 +381,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 pltpu.SMEM((8, c8), jnp.int32),
                 pltpu.SMEM((8, c8), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((2, 8, 8), jnp.float32),  # aabb double buffer
+                pltpu.SMEM((2, 8, 128), jnp.float32),  # aabb double buffer
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((block, 1), jnp.float32),  # best_ref
                 pltpu.VMEM((block, 1), jnp.float32),  # slot_ref

@@ -18,8 +18,12 @@ formulation; identical math to the reference's recursion, but evaluated
 with static loops over the bounded depth — XLA-friendly control flow).
 
 Strategies: s=0 (camera path hits the emitter), s=1 (NEE), s>=2 x t>=2
-(subpath connections), t=1 (light tracing splats). Environment lights ride
-the s<=1 strategies only (area lights participate fully).
+(subpath connections), t=1 (light tracing splats). Environment lighting is
+carried by exactly two estimators — BSDF escape and env NEE (a light
+subpath cannot start at infinity) — combined with the pairwise power
+heuristic, which therefore partitions unity; area lights participate in
+every strategy. Subpath walks apply Russian roulette from cfg.rr_depth
+(path.hlsli:828-845).
 """
 
 from __future__ import annotations
@@ -89,10 +93,25 @@ def _to_area(pdf_w, from_pos, to_pos, to_ng):
     return pdf_w * smath.safe_div(cos_t, dist2)
 
 
+class EscapeRecord(NamedTuple):
+    """Rays that left the scene during a subpath walk, per step: step i
+    escaped while tracing toward vertex i (path length = i recorded
+    vertices + the environment). Feeds the env-light strategies."""
+
+    mask: jnp.ndarray  # bool [N, D]
+    direction: jnp.ndarray  # [N, D, 3]
+    beta: jnp.ndarray  # [N, D, 3] throughput up to the escape
+    pdf_w: jnp.ndarray  # [N, D] solid-angle pdf of the escape direction
+
+
 def random_walk(scene, cfg, st, origin, direction, beta0, pdf_dir_w, depth):
     """Generalized subpath walk (reference: the shared ``next_vertex`` loop,
-    path.hlsli:954-1075). Records ``depth`` surface vertices. ``pdf_dir_w``
-    is the solid-angle pdf of the initial direction."""
+    path.hlsli:954-1075). Records ``depth`` surface vertices plus escape
+    events (for env-light strategies), with Russian roulette from
+    ``cfg.rr_depth`` (path.hlsli:828-845; RR compensation is folded into
+    beta and deliberately NOT into the stored MIS pdfs — any weights
+    computed consistently from the stored arrays still partition unity).
+    ``pdf_dir_w`` is the solid-angle pdf of the initial direction."""
     bsdf_eval, bsdf_sample = _bsdf_fns(cfg)
     trace_closest, _ = _trace_fns(scene, cfg)
     geo = scene.geo
@@ -115,12 +134,31 @@ def random_walk(scene, cfg, st, origin, direction, beta0, pdf_dir_w, depth):
         light_row=empty((), jnp.int32, -1),
         valid=empty((), bool, False),
     )
+    esc = EscapeRecord(
+        mask=empty((), bool, False),
+        direction=empty((3,)),
+        beta=empty((3,)),
+        pdf_w=empty(()),
+    )
 
     def body(i, carry):
-        (va, origin, direction, beta, pdf_dir_w, prev_pos, prev_ng, st,
+        (va, esc, origin, direction, beta, pdf_dir_w, prev_pos, prev_ng, st,
          alive, _endpoint_rev) = carry
         hit = trace_closest(origin, direction)
         sp = make_shading_point(geo, hit.tri, hit.bary, direction)
+        escaped = alive & ~hit.hit
+        esc = EscapeRecord(
+            mask=esc.mask.at[:, i].set(escaped),
+            direction=esc.direction.at[:, i].set(
+                jnp.where(escaped[:, None], direction, 0.0)
+            ),
+            beta=esc.beta.at[:, i].set(
+                jnp.where(escaped[:, None], beta, 0.0)
+            ),
+            pdf_w=esc.pdf_w.at[:, i].set(
+                jnp.where(escaped, pdf_dir_w, 0.0)
+            ),
+        )
         alive = alive & hit.hit
         pdf_fwd = _to_area(pdf_dir_w, prev_pos, sp.position, sp.geom_normal)
         mat = _mat_at(scene, cfg, sp.material, sp.uv, sp.front_face)
@@ -161,13 +199,22 @@ def random_walk(scene, cfg, st, origin, direction, beta0, pdf_dir_w, depth):
             )
         )
         endpoint_rev = jnp.where(
-            (i == 0) & alive, rev_area, carry[9]
+            (i == 0) & alive, rev_area, carry[10]
         )
         # continue
         new_dir = smath.to_world(bs.wi, sp.shading_normal)
         thr = bs.f * smath.safe_div(jnp.abs(bs.wi[..., 2]), bs.pdf_fwd)[..., None]
         beta = beta * jnp.where(alive[..., None], thr, 1.0)
         alive_next = alive & (bs.pdf_fwd > 1e-12) & (jnp.max(beta, axis=-1) > 0)
+        # Russian roulette inside the subpath walk (path.hlsli:828-845)
+        u_rr, st = srng.next_float(st)
+        p_cont = jnp.clip(smath.max3(beta), cfg.rr_min_beta, 1.0)
+        do_rr = i >= cfg.rr_depth
+        survive = ~do_rr | (u_rr < p_cont)
+        beta = jnp.where(
+            (do_rr & survive)[..., None], beta / p_cont[..., None], beta
+        )
+        alive_next = alive_next & survive
         offset_sign = jnp.sign(bs.wi[..., 2:3])
         origin = jnp.where(
             alive_next[..., None],
@@ -176,17 +223,18 @@ def random_walk(scene, cfg, st, origin, direction, beta0, pdf_dir_w, depth):
         )
         direction = jnp.where(alive_next[..., None], new_dir, direction)
         return (
-            va, origin, direction, beta, bs.pdf_fwd,
+            va, esc, origin, direction, beta, bs.pdf_fwd,
             sp.position, sp.geom_normal, st, alive_next, endpoint_rev,
         )
 
     carry = (
-        va, origin, direction, beta0, pdf_dir_w,
+        va, esc, origin, direction, beta0, pdf_dir_w,
         origin, jnp.zeros_like(origin), st, jnp.ones((n,), bool),
         jnp.zeros((n,), jnp.float32),
     )
     carry = lax.fori_loop(0, depth, body, carry)
-    return carry[0], carry[7], carry[9]  # vertices, rng state, endpoint rev
+    # vertices, escapes, rng state, endpoint rev
+    return carry[0], carry[1], carry[8], carry[10]
 
 
 # ---------------------------------------------------------------------------
@@ -274,15 +322,22 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     origin, direction = scamera.generate_rays(view, px, py, u, width, height)
     n = origin.shape[0]
     pdf_cam_w = _camera_dir_pdf_w(view, direction, width, height)
-    z, st, _ = random_walk(
+    z, z_esc, st, _ = random_walk(
         scene, cfg, st, origin, direction,
         jnp.ones((n, 3), jnp.float32), pdf_cam_w, depth,
     )
 
     # ---- light subpath ----------------------------------------------------
+    # the light-start pdf folds the env/area selection probability so every
+    # strategy's MIS quantities use the true NEE sampling pdfs (the env
+    # branch of NEE rides the pairwise-MIS env strategies below)
+    p_area_sel = jnp.where(
+        scene.lights.num_lights > 0, 1.0 - scene.lights.env_probability, 0.0
+    )
     stl = srng.rng_init(jnp.arange(n, dtype=jnp.uint32), _LIGHT_STREAM, seed)
     u, stl = srng.next_floats(stl, 3)
     ls = slights.sample_area_light(scene, u[..., 0], u[..., 1], u[..., 2])
+    ls = ls._replace(pdf_area=ls.pdf_area * p_area_sel)
     u, stl = srng.next_floats(stl, 2)
     ldir_local = smath.sample_cos_hemisphere(u[..., 0], u[..., 1])
     ldir = smath.to_world(ldir_local, ls.normal)
@@ -295,7 +350,7 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     )
     walk_beta0 = y0_beta * np.pi  # cos/pdf_w of cosine emission = pi
     lorigin = intersect.ray_offset(ls.position, ls.normal)
-    yw, stl, y0_rev_from_walk = random_walk(
+    yw, _y_esc, stl, y0_rev_from_walk = random_walk(
         scene, cfg, stl, lorigin, ldir, walk_beta0, pdf_ldir_w, depth,
     )
     # combined light arrays: slot 0 = y0 (on the light), slots 1.. = walk
@@ -351,37 +406,76 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
             on_light[:, None], z.beta[:, j] * le * w[:, None], 0.0
         )
 
-    # escaped-ray environment contribution is handled by the forward path
-    # tracer strategies; BDPT treats the env via s<=1 only (module docstring)
+    # ---- env strategies: escaped camera rays + env NEE ---------------------
+    # The light subpath cannot start at infinity, so environment transport
+    # rides exactly two estimators (BSDF escape / env NEE) and the pairwise
+    # power heuristic partitions unity — the same weights the forward path
+    # tracer uses (reference env handling in connect_light/eval_emission,
+    # path.hlsli:310-366, 847-894).
+    for j in range(depth):
+        esc_m = z_esc.mask[:, j]
+        esc_dir = z_esc.direction[:, j]
+        le = slights.eval_environment(scene, esc_dir)
+        if j == 0:
+            w_env = jnp.ones((n,), jnp.float32)
+        else:
+            w_env = mis_power_heuristic(
+                z_esc.pdf_w[:, j], slights.env_pdf_w_mis(scene, esc_dir)
+            )
+        radiance = radiance + jnp.where(
+            esc_m[:, None], z_esc.beta[:, j] * le * w_env[:, None], 0.0
+        )
 
     # ---- strategy s=1: NEE from every camera vertex ------------------------
+    # env-vs-area split (sample_light); area samples use the full area-MIS
+    # machinery, env samples the pairwise env MIS above
     for j in range(depth):
         u, st = srng.next_floats(st, 3)
-        lsj = slights.sample_area_light(scene, u[..., 0], u[..., 1], u[..., 2])
-        to_y = lsj.position - z.position[:, j]
-        dist = smath.length(to_y)
-        wi = to_y / jnp.maximum(dist, 1e-20)[:, None]
-        cos_l = jnp.maximum(smath.dot(-wi, lsj.normal), 0.0)
+        lsj = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
+        to_y = jnp.where(
+            lsj.is_env[:, None], lsj.position,
+            lsj.position - z.position[:, j],
+        )
+        dist = jnp.where(
+            lsj.is_env, intersect.T_MAX * 0.5, smath.length(to_y)
+        )
+        wi = jnp.where(
+            lsj.is_env[:, None], lsj.position,
+            to_y / jnp.maximum(dist, 1e-20)[:, None],
+        )
+        cos_l = jnp.where(
+            lsj.is_env, 1.0, jnp.maximum(smath.dot(-wi, lsj.normal), 0.0)
+        )
         cos_z = jnp.abs(smath.dot(wi, z.ns[:, j]))
-        g = smath.safe_div(cos_l * cos_z, dist * dist)
         mat_j = zslot_mat(j)
         wo_local = smath.to_local(z.wo[:, j], z.ns[:, j])
         wi_local = smath.to_local(wi, z.ns[:, j])
         ev = bsdf_eval(mat_j, wo_local, wi_local)
-        contrib = (
+        # area branch: pdf_area -> contribution with geometry term
+        g = smath.safe_div(cos_l * cos_z, dist * dist)
+        contrib_area = (
             z.beta[:, j]
             * ev.f
             * lsj.radiance
             * smath.safe_div(g, lsj.pdf_area)[:, None]
         )
+        # env branch: pdf is solid-angle already
+        contrib_env = (
+            z.beta[:, j]
+            * ev.f
+            * lsj.radiance
+            * smath.safe_div(cos_z, lsj.pdf_area)[:, None]
+        )
+        contrib = jnp.where(lsj.is_env[:, None], contrib_env, contrib_area)
         cand = (
-            z.valid[:, j] & has_light & (lsj.pdf_area > 0) & (cos_l > 0)
+            z.valid[:, j] & (lsj.pdf_area > 0) & (cos_l > 0)
             & (jnp.max(contrib, axis=-1) > 0)
+            & (lsj.is_env | has_light)
         )
         occ = trace_occluded(
             intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi, dist
         )
-        # overrides
+        # overrides (area branch MIS)
         y_fwd1 = lsj.pdf_area[:, None]
         y_rev1 = _to_area(
             ev.pdf_fwd, z.position[:, j], lsj.position, lsj.normal
@@ -398,7 +492,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
                     z.position[:, j - 1], z.ng[:, j - 1],
                 )
             )
-        w = mis_weight_arrays(z.pdf_fwd, z_rev, y_fwd1, y_rev1, j + 1, 1)
+        w_area = mis_weight_arrays(z.pdf_fwd, z_rev, y_fwd1, y_rev1, j + 1, 1)
+        w_env = mis_power_heuristic(lsj.pdf_area, ev.pdf_fwd)
+        w = jnp.where(lsj.is_env, w_env, w_area)
         radiance = radiance + jnp.where(
             (cand & ~occ)[:, None], contrib * w[:, None], 0.0
         )
@@ -523,10 +619,6 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
             jnp.where(ok[:, None], contrib * w[:, None], 0.0)
         )
 
-    # env light via the forward estimator (module docstring: env rides
-    # s<=1): escaped camera rays — rerun the cheap escape check
-    # NOTE: for env-lit scenes use the path integrator; BDPT targets
-    # area-light transport (reference parity: BDPT flags select this too)
     return radiance, splat
 
 

@@ -65,6 +65,13 @@ class RenderConfig:
                                  # lighting (path lengths <= 2): the ReSTIR
                                  # DI pass supplies those when composed by
                                  # RenderSession / --integrator=restir
+    defer_shadows: bool = True  # batch every bounce's NEE shadow rays into
+                                # ONE occlusion wave after the bounce loop
+                                # (reference: eDeferShadowRays +
+                                # trace_shadows kernel, bdpt.hlsl:304-326);
+                                # cross-bounce batching amortizes candidate
+                                # prep and lets one sort cohere all shadow
+                                # rays together
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -541,16 +548,24 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             candidate = nee_allowed & (res.target_pdf > 0) & (
                 jnp.max(contrib, axis=-1) > 0
             )
-            occluded = trace_occluded(nee_shadow_origin, wi, dist)
             if has_media:
                 trans, st = smedium.transmittance(
                     scene.media, nee_shadow_origin, wi, dist, st
                 )
                 contrib = contrib * trans[..., None]
-            radiance = radiance + jnp.where(
-                (candidate & ~occluded)[..., None], contrib, 0.0
-            )
             n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
+            if cfg.defer_shadows:
+                shadow_batch = dict(
+                    origin=nee_shadow_origin, wi=wi,
+                    dist=jnp.where(candidate, dist, 0.0),
+                    contrib=jnp.where(candidate[..., None], contrib, 0.0),
+                    pixel=pixel_idx,
+                )
+            else:
+                occluded = trace_occluded(nee_shadow_origin, wi, dist)
+                radiance = radiance + jnp.where(
+                    (candidate & ~occluded)[..., None], contrib, 0.0
+                )
         elif cfg.use_nee:
             u, st = srng.next_floats(st, 3)
             ls = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
@@ -573,7 +588,6 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 & (cos_l > 0.0)
                 & (jnp.max(contrib, axis=-1) > 0.0)
             )
-            occluded = trace_occluded(nee_shadow_origin, wi, dist)
             if has_media:
                 # shadow segments attenuate through volumes (reference:
                 # trace_visibility_ray always folds null-collision
@@ -583,9 +597,18 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 )
                 contrib = contrib * trans[..., None]
             n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
-            radiance = radiance + jnp.where(
-                (candidate & ~occluded)[..., None], contrib, 0.0
-            )
+            if cfg.defer_shadows:
+                shadow_batch = dict(
+                    origin=nee_shadow_origin, wi=wi,
+                    dist=jnp.where(candidate, dist, 0.0),
+                    contrib=jnp.where(candidate[..., None], contrib, 0.0),
+                    pixel=pixel_idx,
+                )
+            else:
+                occluded = trace_occluded(nee_shadow_origin, wi, dist)
+                radiance = radiance + jnp.where(
+                    (candidate & ~occluded)[..., None], contrib, 0.0
+                )
 
         # -- BSDF sampling (sample_direction, path.hlsli:896-952) ----------
         u, st = srng.next_floats(st, 3)
@@ -649,16 +672,20 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                  cone_dist, pixel_idx),
             )
 
+        if not (cfg.use_nee and cfg.defer_shadows):
+            shadow_batch = None
         return (
             origin, direction, beta, radiance, alive, prev_pdf_w, st,
             depth + 1, n_rays, cone_dist, pixel_idx,
-        ), None
+        ), shadow_batch
 
     carry = (
         origin, direction, beta, radiance, alive, prev_pdf_w, st,
         jnp.asarray(0), n_rays, cone_dist, pixel_idx,
     )
-    carry, _ = lax.scan(bounce, carry, None, length=cfg.max_bounces + 1)
+    carry, shadow_ys = lax.scan(
+        bounce, carry, None, length=cfg.max_bounces + 1
+    )
     radiance_sorted, pixel_idx = carry[3], carry[10]
     if cfg.sort_rays:
         # scatter lanes back to their pixels
@@ -666,6 +693,39 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         radiance_out = radiance_out.at[pixel_idx].set(radiance_sorted)
     else:
         radiance_out = radiance_sorted
+
+    if cfg.use_nee and cfg.defer_shadows:
+        # ---- deferred shadow wave (trace_shadows, bdpt.hlsl:304-326) ------
+        # every bounce's NEE rays in ONE occlusion pass: candidate prep is
+        # amortized and one sort coheres shadow rays across bounces
+        d_ = cfg.max_bounces + 1
+        o_f = shadow_ys["origin"].reshape(d_ * n, 3)
+        w_f = shadow_ys["wi"].reshape(d_ * n, 3)
+        t_f = shadow_ys["dist"].reshape(d_ * n)
+        c_f = shadow_ys["contrib"].reshape(d_ * n, 3)
+        p_f = shadow_ys["pixel"].reshape(d_ * n)
+        if cfg.sort_rays:
+            from stratum_tpu.ops.bvh import morton3
+
+            lo = jnp.min(geo.positions, axis=0)
+            hi = jnp.max(geo.positions, axis=0)
+            q = (o_f - lo) / jnp.maximum(hi - lo, 1e-9)
+            octant = (
+                (w_f[..., 0] > 0).astype(jnp.uint32)
+                | ((w_f[..., 1] > 0).astype(jnp.uint32) << 1)
+                | ((w_f[..., 2] > 0).astype(jnp.uint32) << 2)
+            )
+            key = (octant << np.uint32(29)) | (morton3(q) >> np.uint32(3))
+            key = jnp.where(t_f > 0, key, np.uint32(0xFFFFFFFF))
+            order = jnp.argsort(key)
+            o_f, w_f, t_f, c_f, p_f = (
+                o_f[order], w_f[order], t_f[order], c_f[order], p_f[order]
+            )
+        occ = trace_occluded(o_f, w_f, t_f)
+        hit_contrib = jnp.where(
+            (~occ & (t_f > 0))[..., None], c_f, 0.0
+        )
+        radiance_out = radiance_out.at[p_f].add(hit_contrib)
     return radiance_out, carry[8]
 
 

@@ -81,3 +81,59 @@ def test_mis_weights_partition_of_unity(cornell_empty):
         0, 1,
     )
     np.testing.assert_allclose(np.asarray(w0 + w1), 1.0, rtol=1e-5)
+
+
+def test_bdpt_matches_pt_env_lit():
+    """Estimator consistency on an ENVIRONMENT-lit scene: the env strategies
+    (BSDF escape + env NEE with pairwise MIS) must agree with the forward
+    path tracer (VERDICT r1 item 6; reference: env branches of
+    connect_light/eval_emission, path.hlsli:310-366, 847-894)."""
+    import numpy as np
+
+    from stratum_tpu.scene.graph import EnvironmentComponent
+
+    g = builtin.cornell_box(boxes=False, light_scale=0.5)
+    env = g.root.add_child("env")
+    env.make_component(
+        EnvironmentComponent(color=np.asarray([0.6, 0.7, 0.9], np.float32))
+    )
+    # open the box a little: remove the back wall so env light enters
+    for n in list(g.root.children):
+        if n.name == "back":
+            n.components.clear()
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    w = h = 32
+    view = camera.make_view(node.to_world(), cam.fovy, w, h)
+    cfg = integrator.RenderConfig(
+        width=w, height=h, max_bounces=2, rr_depth=100
+    )
+    spp = 24
+    pt = np.asarray(integrator.render_path_progressive(scene, view, cfg, spp))
+    bd = np.asarray(bdpt.render_bdpt_progressive(scene, view, cfg, spp))
+    assert np.isfinite(bd).all()
+    assert bd.mean() == pytest.approx(pt.mean(), rel=0.05), (
+        bd.mean(), pt.mean()
+    )
+
+
+def test_bdpt_rr_unbiased(cornell_empty):
+    """Russian roulette inside the subpath walks keeps the estimator mean
+    (beta compensation is exact; MIS weights still partition unity)."""
+    scene, view = cornell_empty
+    cfg_rr = integrator.RenderConfig(
+        width=32, height=32, max_bounces=3, rr_depth=1, rr_min_beta=0.3
+    )
+    cfg_no = integrator.RenderConfig(
+        width=32, height=32, max_bounces=3, rr_depth=100
+    )
+    spp = 32
+    with_rr = np.asarray(
+        bdpt.render_bdpt_progressive(scene, view, cfg_rr, spp)
+    )
+    without = np.asarray(
+        bdpt.render_bdpt_progressive(scene, view, cfg_no, spp)
+    )
+    assert with_rr.mean() == pytest.approx(without.mean(), rel=0.06), (
+        with_rr.mean(), without.mean()
+    )

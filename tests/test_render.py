@@ -108,19 +108,60 @@ def test_path_brighter_than_direct(cornell):
 
 def test_wavefront_sorting_bit_identical(cornell):
     """Re-sorting the wavefront each bounce (stream-compaction analog) must
-    not change a single bit: the RNG is keyed by pixel, not lane."""
+    not change a single bit: the RNG is keyed by pixel, not lane. (With
+    deferred shadows OFF — the deferred wave's scatter-add order changes
+    under sorting, which only reassociates float sums; covered below.)"""
     scene, c2w, fovy = cornell
     view = camera.make_view(c2w, fovy, 32, 32)
     a = np.asarray(
         integrator.render_path(
             scene, view,
-            integrator.RenderConfig(32, 32, max_bounces=3, sort_rays=False), 7,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3, sort_rays=False, defer_shadows=False
+            ), 7,
         )
     )
     b = np.asarray(
         integrator.render_path(
             scene, view,
-            integrator.RenderConfig(32, 32, max_bounces=3, sort_rays=True), 7,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3, sort_rays=True, defer_shadows=False
+            ), 7,
         )
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_deferred_shadows_match_inline(cornell):
+    """The deferred one-wave shadow pass (reference: eDeferShadowRays +
+    trace_shadows, bdpt.hlsl:304-326) computes the same image as inline
+    per-bounce shadow rays — identical samples, only the trace order and
+    float summation order differ."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    inline = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3, defer_shadows=False
+            ), 7,
+        )
+    )
+    deferred = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3, defer_shadows=True
+            ), 7,
+        )
+    )
+    np.testing.assert_allclose(deferred, inline, rtol=1e-5, atol=1e-6)
+    sorted_def = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3, defer_shadows=True, sort_rays=True
+            ), 7,
+        )
+    )
+    np.testing.assert_allclose(sorted_def, inline, rtol=1e-4, atol=1e-5)
