@@ -1,11 +1,13 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Measures path-tracing throughput (Mrays/sec/chip) on the Cornell box at
-1080p — rays counted exactly like the reference's performance counters
+Headline: END-TO-END path-tracing throughput on the atrium (133K-triangle
+Sponza-class scene, BASELINE.md config 3) at 1080p through the Pallas
+BVH tracer — rays counted exactly like the reference's performance counters
 (closest-hit + shadow rays actually traced, Node/BDPT.cpp:385-391).
-Baseline target: 50 Mrays/sec/chip (BASELINE.json north_star).
+Also measures the Cornell MXU path and primary-ray traversal; those ride in
+the metric string. Baseline target: 50 Mrays/sec/chip (BASELINE.json).
 
-Usage: python bench.py [--cpu] [--width=N] [--height=N] [--spp=N]
+Usage: python bench.py [--cpu] [--scene=atrium|cornell] [--spp=N]
 """
 
 from __future__ import annotations
@@ -20,6 +22,24 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stratum_jax_cache")
 BASELINE_MRAYS = 50.0
 
 
+def _fetch(x):
+    import numpy as np
+
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def _measure_e2e(scene, view, cfg, spp, integrator):
+    img, n_rays = integrator.render_path_with_counts(scene, view, cfg, 0)
+    _fetch(n_rays)  # compile + run
+    t0 = time.time()
+    total = 0
+    for s in range(1, spp + 1):
+        img, n_rays = integrator.render_path_with_counts(scene, view, cfg, s)
+        total += int(_fetch(n_rays))
+    dt = time.time() - t0
+    return total / dt / 1e6, dt / spp
+
+
 def main() -> int:
     from stratum_tpu.utils.flags import Options
 
@@ -29,39 +49,84 @@ def main() -> int:
     if opts.has("cpu"):
         jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
+    import jax.numpy as jnp
 
     from stratum_tpu.render import camera, integrator
     from stratum_tpu.scene import builtin, flatten
 
     width = opts.get_int("width", 1920)
     height = opts.get_int("height", 1080)
-    spp = opts.get_int("spp", 8)
-    g = builtin.cornell_box()
+    spp = opts.get_int("spp", 4)
+    on_cpu = opts.has("cpu")
+    if on_cpu:
+        # CI-scale fallback: tiny frame, brute tracer
+        width, height, spp = 128, 128, 2
+
+    results = {}
+
+    # --- config 3: full path trace, Sponza-class scene, BVH tracer --------
+    g = builtin.atrium() if not on_cpu else builtin.cornell_box()
     scene, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
-    cfg = integrator.RenderConfig(width=width, height=height, max_bounces=4)
+    cfg = integrator.RenderConfig(
+        width=width, height=height, max_bounces=4, bsdf="disney",
+        sort_rays=True,
+    )
+    mrays_atrium, spp_s = _measure_e2e(scene, view, cfg, spp, integrator)
+    results["atrium_e2e"] = round(mrays_atrium, 3)
+    results["atrium_ms_per_spp"] = round(spp_s * 1e3, 1)
 
-    # warmup/compile
-    img, n_rays = integrator.render_path_with_counts(scene, view, cfg, 0)
-    img.block_until_ready()
+    # --- primary-ray traversal alone (the BVH tracer's ceiling) -----------
+    if not on_cpu:
+        from stratum_tpu.ops import pallas_trace as spallas
 
-    t0 = time.time()
-    total_rays = 0
-    for s in range(1, spp + 1):
-        img, n_rays = integrator.render_path_with_counts(scene, view, cfg, s)
-        total_rays += int(n_rays)
-    img.block_until_ready()
-    dt = time.time() - t0
+        n = width * height
+        px, py = camera.pixel_grid_tiled(width, height, 8, 64)
+        u = jnp.full((n, 2), 0.5, jnp.float32)
+        origin, direction = camera.generate_rays(
+            view, px, py, u, width, height
+        )
 
-    mrays = total_rays / dt / 1e6
+        @jax.jit
+        def closest(o, d):
+            h = spallas.pallas_closest(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, block=512
+            )
+            return h.t.sum()
+
+        _fetch(closest(origin, direction))
+        t0 = time.time()
+        for _ in range(3):
+            s = closest(origin, direction)
+        _fetch(s)
+        results["atrium_primary_traversal"] = round(
+            n / ((time.time() - t0) / 3) / 1e6, 2
+        )
+
+    # --- config 1/3: Cornell (MXU dense path) ------------------------------
+    g2 = builtin.cornell_box()
+    scene2, _ = flatten.flatten(g2.root)
+    node2, cam2 = flatten.find_camera(g2.root)
+    view2 = camera.make_view(node2.to_world(), cam2.fovy, width, height)
+    cfg2 = integrator.RenderConfig(
+        width=width, height=height, max_bounces=4
+    )
+    mrays_cornell, _ = _measure_e2e(scene2, view2, cfg2, spp, integrator)
+    results["cornell_e2e"] = round(mrays_cornell, 3)
+
+    headline = results["atrium_e2e"]
     result = {
-        "metric": f"path-tracing throughput, Cornell {width}x{height}, "
-        f"{spp}spp, {cfg.max_bounces} bounces, NEE+MIS",
-        "value": round(mrays, 3),
+        "metric": (
+            f"end-to-end path tracing, atrium 133K tris {width}x{height} "
+            f"{spp}spp 4 bounces NEE+MIS+RR disney (pallas BVH tracer); "
+            f"cornell_e2e={results['cornell_e2e']} "
+            f"primary_traversal={results.get('atrium_primary_traversal')} "
+            f"atrium_ms_per_spp={results['atrium_ms_per_spp']}"
+        ),
+        "value": headline,
         "unit": "Mrays/sec/chip",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "vs_baseline": round(headline / BASELINE_MRAYS, 4),
     }
     print(json.dumps(result))
     return 0

@@ -5,14 +5,20 @@ require: a kernel launch per leaf visit (while_loop iteration) and leaf
 feature gathers at XLA's ~5 ns/row. This kernel runs each ray block's whole
 candidate loop inside ONE Pallas program:
 
-- grid over ray blocks; each block's rays ([B, 16] Plucker features + t_max)
-  live in VMEM;
+- grid over ray blocks; each block's rays (16 x [B] feature rows + t_max)
+  live in VMEM, LANE-MAJOR ([nb, 16, B] — a [nb, B, 16] layout would be
+  tile-padded 16 -> 128 lanes, an 8x HBM blowup);
 - the block's candidate leaf ids + entry distances (computed and sorted
   front-to-back by XLA once per wave) are DMA'd into SMEM at block start;
-- each visit DMAs one leaf's packed feature slab [16, 4K] from HBM into a
-  double-buffered VMEM scratch (the next leaf's DMA overlaps the current
-  leaf's math) and runs one [B,16]x[16,4K] MXU matmul at HIGHEST precision
-  — all four Moller-Trumbore quantities for K triangles at once;
+- each visit first DMAs the leaf's AABB group ([8, 128] slab into SMEM,
+  double-buffered) and runs a per-ray slab pre-test against each ray's
+  CURRENT best-t: leaves no ray can improve on skip the matmul + epilogue
+  entirely;
+- surviving visits DMA the leaf's packed feature slab [16, 4K] from HBM
+  into a double-buffered VMEM scratch (the next leaf's DMA overlaps the
+  current leaf's math) and run one [16,4K]^T x [16,B] MXU matmul at HIGHEST
+  precision — all four Moller-Trumbore quantities for K triangles at once,
+  [4K, B] so the epilogue reduces over sublanes and rays stay on lanes;
 - a while loop stops as soon as the next candidate's entry exceeds the
   block's worst committed hit (front-to-back early exit).
 
@@ -41,7 +47,7 @@ FEAT_ROWS = 16  # 10 Plucker rows zero-padded to the f32 sublane tile
 def pack_leaf_features(fat) -> jnp.ndarray:
     """FatBVH -> [L, 16, 4K] f32 DMA slabs: rows 0-9 = the Plucker feature
     matrix (quantity-major columns [a(K) | u(K) | v(K) | t(K)]), rows 10-15
-    zero so a [B,16] ray block can matmul the slab directly."""
+    zero so a ray block can matmul the slab directly."""
     L, K = fat.leaf_tri.shape
     feat = jnp.transpose(fat.leaf_feat, (0, 2, 3, 1))  # [L, 10, 4, K]
     feat = feat.reshape(L, 10, 4 * K)
@@ -64,22 +70,77 @@ def pack_leaf_aabbs(fat) -> jnp.ndarray:
     return rows.reshape(lp // 8, 8, 128)
 
 
-def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
-            feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
-            aabb_s, asem, best_ref, slot_ref):
-    b = pl.program_id(0)
-    # stage this block's candidate metadata into SMEM. The arrays are packed
-    # [nb, 8, C8] (element c at row c%8, col c//8) so the per-block slice is
-    # tile-aligned (Mosaic: sublane slices must be multiples of 8).
+def _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem):
+    """Stage this block's candidate metadata into SMEM. The arrays are
+    packed [nb, 8, C8] (element c at row c%8, col c//8) so the per-block
+    slice is tile-aligned (Mosaic: sublane slices must be multiples of 8)."""
     pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).start()
     pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).start()
     pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).wait()
     pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).wait()
+
+
+def _pretest(geom, aabb_s, slot, row, best_row):
+    """Per-ray slab test of a leaf's AABB against each ray's CURRENT best-t
+    — far tighter than the block-level entry test the host-side prep used.
+    geom is [8, B] (origin xyz / inv_dir xyz rows); returns a scalar: does
+    ANY ray still want this leaf? (~20 VPU ops on [1,B] vs ~20 on [K,B].)"""
+    ox, oy, oz = geom[0:1, :], geom[1:2, :], geom[2:3, :]
+    ix, iy, iz = geom[3:4, :], geom[4:5, :], geom[5:6, :]
+    t0x = (aabb_s[slot, row, 0] - ox) * ix
+    t1x = (aabb_s[slot, row, 3] - ox) * ix
+    t0y = (aabb_s[slot, row, 1] - oy) * iy
+    t1y = (aabb_s[slot, row, 4] - oy) * iy
+    t0z = (aabb_s[slot, row, 2] - oz) * iz
+    t1z = (aabb_s[slot, row, 5] - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    return jnp.any((tn <= tf) & (tn < best_row))
+
+
+def _mt_quants(rays, slab, k):
+    """One [16,4K]^T x [16,B] MXU matmul -> sign-normalized MT quantities
+    [K, B] (no predicated reciprocal for the validity mask; the division
+    survives only for the ordering value)."""
+    out = jax.lax.dot_general(
+        slab, rays, (((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )  # [4K, B]
+    a = out[0 * k : 1 * k, :]
+    u_num = out[1 * k : 2 * k, :]
+    v_num = out[2 * k : 3 * k, :]
+    t_num = out[3 * k : 4 * k, :]
+    s = jnp.sign(a)
+    abs_a = a * s
+    su = u_num * s
+    sv = v_num * s
+    stn = t_num * s
+    base_valid = (
+        (abs_a > 1e-12)
+        & (su >= 0.0)
+        & (sv >= 0.0)
+        & (su + sv <= abs_a)
+        & (stn > 1e-4 * abs_a)
+    )
+    return abs_a, stn, base_valid
+
+
+def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
+            feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
+            aabb_s, asem, best_ref, slot_ref):
+    b = pl.program_id(0)
+    _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
-    rays = rays_ref[0]  # [B, 16]
-    t_max = rays_ref[0, :, 10:11]  # [B, 1]
-    geom = geom_ref[0]  # [B, 8] = origin xyz, inv_dir xyz, 0, 0
-    B = rays.shape[0]
+    rays = rays_ref[0]  # [16, B]
+    t_max = rays[10:11, :]  # [1, B]
+    geom = geom_ref[0]  # [8, B]
+    B = rays.shape[1]
     k4 = buf.shape[2]
     k = k4 // 4
 
@@ -100,7 +161,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         )
 
     best_ref[...] = t_max
-    slot_ref[...] = jnp.full((B, 1), -1.0, jnp.float32)
+    slot_ref[...] = jnp.full((1, B), -1.0, jnp.float32)
 
     @pl.when(n_cand > 0)
     def _():
@@ -123,74 +184,30 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 
         leaf = cand_at(c)
         adma(slot, c).wait()
-        row = lax.rem(leaf, 8)
-        # per-ray slab pre-test against this leaf's AABB: skips the whole
-        # matmul + epilogue when no ray can still improve inside the leaf
-        # (per-ray best-t is far tighter than the block-level entry test
-        # the host-side prep used). ~20 VPU ops on [B,1] vs ~20 on [B,K].
-        best_t = best_ref[...]
-        ox, oy, oz = geom[:, 0:1], geom[:, 1:2], geom[:, 2:3]
-        ix, iy, iz = geom[:, 3:4], geom[:, 4:5], geom[:, 5:6]
-        t0x = (aabb_s[slot, row, 0] - ox) * ix
-        t1x = (aabb_s[slot, row, 3] - ox) * ix
-        t0y = (aabb_s[slot, row, 1] - oy) * iy
-        t1y = (aabb_s[slot, row, 4] - oy) * iy
-        t0z = (aabb_s[slot, row, 2] - oz) * iz
-        t1z = (aabb_s[slot, row, 5] - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        want = jnp.any((tn <= tf) & (tn < best_t))
-
+        want = _pretest(geom, aabb_s, slot, lax.rem(leaf, 8), best_ref[...])
         dma(slot, c).wait()  # started unconditionally: always consume
 
         @pl.when(want)
         def _():
-            out = jax.lax.dot_general(
-                rays, buf[slot], (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-            )  # [B, 4K]
-            a = out[:, 0 * k : 1 * k]
-            u_num = out[:, 1 * k : 2 * k]
-            v_num = out[:, 2 * k : 3 * k]
-            t_num = out[:, 3 * k : 4 * k]
-            best_t = best_ref[...]
-            # sign-normalized MT tests: no predicated reciprocal for the
-            # validity mask; the division survives only for ordering
-            s = jnp.sign(a)
-            abs_a = a * s
-            su = u_num * s
-            sv = v_num * s
-            stn = t_num * s
-            valid = (
-                (abs_a > 1e-12)
-                & (su >= 0.0)
-                & (sv >= 0.0)
-                & (su + sv <= abs_a)
-                & (stn > 1e-4 * abs_a)
-                & (stn < best_t * abs_a)
-            )
+            best_row = best_ref[...]  # [1, B]
+            abs_a, stn, base_valid = _mt_quants(rays, buf[slot], k)
+            valid = base_valid & (stn < best_row * abs_a)
             tt = jnp.where(
                 valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
             )
             # Mosaic has no general gather: select the per-ray argmin via a
             # one-hot reduction. Barycentrics of the winner are recomputed
             # OUTSIDE the kernel from its feature row (one XLA gather) —
-            # keeping u/v here costs two more [B,K] reductions per visit.
-            kbest = jnp.argmin(tt, axis=1)  # [B]
+            # keeping u/v here costs two more [K,B] reductions per visit.
+            kbest = jnp.argmin(tt, axis=0)  # [B]
             onehot = (
-                lax.broadcasted_iota(jnp.int32, tt.shape, 1)
-                == kbest[:, None]
+                lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                == kbest[None, :]
             ).astype(tt.dtype)
-            tk = jnp.sum(tt * onehot, axis=1, keepdims=True)
-            closer = tk < best_t
-            slot_id = (leaf * k + kbest).astype(jnp.float32)[:, None]
-            best_ref[...] = jnp.where(closer, tk, best_t)
+            tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, B]
+            closer = tk < best_row
+            slot_id = (leaf * k + kbest).astype(jnp.float32)[None, :]
+            best_ref[...] = jnp.where(closer, tk, best_row)
             slot_ref[...] = jnp.where(closer, slot_id, slot_ref[...])
 
         return nxt, jnp.max(best_ref[...])
@@ -206,8 +223,8 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         adma(lax.rem(c_final, 2), c_final).wait()
 
     out_ref[0] = jnp.concatenate(
-        [best_ref[...], slot_ref[...], jnp.zeros((B, 2), jnp.float32)],
-        axis=1,
+        [best_ref[...], slot_ref[...], jnp.zeros((2, B), jnp.float32)],
+        axis=0,
     )
 
 
@@ -219,18 +236,14 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     candidate leaf starts inside a surviving segment) — the reference's
     shadow-ray RayQuery commits the first hit the same way
     (intersection.hlsli:192-239). Shares the per-ray AABB pre-test with the
-    closest kernel: leaves no unblocked ray's segment touches are skipped
-    before the matmul."""
+    closest kernel."""
     b = pl.program_id(0)
-    pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).start()
-    pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).start()
-    pltpu.make_async_copy(cand_hbm.at[b], cand_s, csem.at[0]).wait()
-    pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).wait()
+    _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
-    rays = rays_ref[0]  # [B, 16]
-    t_max = rays_ref[0, :, 10:11]  # [B, 1] (0 for dead lanes)
-    geom = geom_ref[0]  # [B, 8]
-    B = rays.shape[0]
+    rays = rays_ref[0]  # [16, B]
+    t_max = rays[10:11, :]  # [1, B] (0 for dead lanes)
+    geom = geom_ref[0]  # [8, B]
+    B = rays.shape[1]
     k4 = buf.shape[2]
     k = k4 // 4
 
@@ -273,53 +286,15 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
 
         leaf = cand_at(c)
         adma(slot, c).wait()
-        row = lax.rem(leaf, 8)
-        bound = best_ref[...]
-        ox, oy, oz = geom[:, 0:1], geom[:, 1:2], geom[:, 2:3]
-        ix, iy, iz = geom[:, 3:4], geom[:, 4:5], geom[:, 5:6]
-        t0x = (aabb_s[slot, row, 0] - ox) * ix
-        t1x = (aabb_s[slot, row, 3] - ox) * ix
-        t0y = (aabb_s[slot, row, 1] - oy) * iy
-        t1y = (aabb_s[slot, row, 4] - oy) * iy
-        t0z = (aabb_s[slot, row, 2] - oz) * iz
-        t1z = (aabb_s[slot, row, 5] - oz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        want = jnp.any((tn <= tf) & (tn < bound))
-
+        want = _pretest(geom, aabb_s, slot, lax.rem(leaf, 8), best_ref[...])
         dma(slot, c).wait()
 
         @pl.when(want)
         def _():
-            out = jax.lax.dot_general(
-                rays, buf[slot], (((1,), (0,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-            )  # [B, 4K]
-            a = out[:, 0 * k : 1 * k]
-            u_num = out[:, 1 * k : 2 * k]
-            v_num = out[:, 2 * k : 3 * k]
-            t_num = out[:, 3 * k : 4 * k]
-            bound = best_ref[...]
-            s = jnp.sign(a)
-            abs_a = a * s
-            su = u_num * s
-            sv = v_num * s
-            stn = t_num * s
-            valid = (
-                (abs_a > 1e-12)
-                & (su >= 0.0)
-                & (sv >= 0.0)
-                & (su + sv <= abs_a)
-                & (stn > 1e-4 * abs_a)
-                & (stn < bound * abs_a)
-            )
-            blocked = jnp.any(valid, axis=1, keepdims=True)  # [B, 1]
+            bound = best_ref[...]  # [1, B]
+            abs_a, stn, base_valid = _mt_quants(rays, buf[slot], k)
+            valid = base_valid & (stn < bound * abs_a)
+            blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, B]
             best_ref[...] = jnp.where(blocked, 0.0, bound)
 
         return nxt, jnp.max(best_ref[...])
@@ -333,8 +308,9 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         adma(lax.rem(c_final, 2), c_final).wait()
 
     blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
-    out_ref[0] = jnp.broadcast_to(
-        blocked.astype(jnp.float32), (B, out_ref.shape[2])
+    out_ref[0] = jnp.concatenate(
+        [blocked.astype(jnp.float32), jnp.zeros((3, B), jnp.float32)],
+        axis=0,
     )
 
 
@@ -364,16 +340,16 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, block, 16), lambda b, *_: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block, 8), lambda b, *_: (b, 0, 0),
-                             memory_space=pltpu.VMEM),  # geom
+                pl.BlockSpec((1, 16, block), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),  # rays [nb,16,B]
+                pl.BlockSpec((1, 8, block), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),  # geom [nb,8,B]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # cand8 [nb, 8, C8]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # centry8 [nb, 8, C8]
-                pl.BlockSpec(memory_space=pltpu.HBM),  # aabb [L/8, 8, 8]
+                pl.BlockSpec(memory_space=pltpu.HBM),  # aabb [L/8, 8, 128]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # leaf features
             ],
-            out_specs=pl.BlockSpec((1, block, 4), lambda b, *_: (b, 0, 0),
+            out_specs=pl.BlockSpec((1, 4, block), lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2,) + leaf_feat.shape[1:], jnp.float32),
@@ -383,11 +359,11 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((2, 8, 128), jnp.float32),  # aabb double buffer
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((block, 1), jnp.float32),  # best_ref
-                pltpu.VMEM((block, 1), jnp.float32),  # slot_ref
+                pltpu.VMEM((1, block), jnp.float32),  # best_ref
+                pltpu.VMEM((1, block), jnp.float32),  # slot_ref
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, block, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, block), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -434,15 +410,18 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
     rf = smxu.ray_features(o.reshape(-1, 3), d.reshape(-1, 3)).reshape(
         nb, block, 10
     )
+    # LANE-MAJOR device layouts ([nb, rows, block]): a [nb, block, 16]
+    # array would tile-pad its 16-lane minor dim to 128 (8x HBM + DMA
+    # traffic blowup — measured as a 4.6G padding allocation at 10M rays)
     rays = jnp.concatenate(
         [rf, tm[..., None], jnp.zeros((nb, block, 5), jnp.float32)], axis=-1
-    )
+    ).swapaxes(1, 2)  # [nb, 16, block]
     inv_d = jnp.where(
         jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20
     )
     geom = jnp.concatenate(
         [o, inv_d, jnp.zeros((nb, block, 2), jnp.float32)], axis=-1
-    )
+    ).swapaxes(1, 2)  # [nb, 8, block]
     return rays, geom, order, sorted_entry, ncand, n
 
 
@@ -461,17 +440,17 @@ def pallas_closest(
     out = _run_blocks(
         rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
         leaf_feat_packed, interpret=interpret, block=block,
-    )
-    out = out.reshape(-1, 4)[:n]
+    )  # [nb, 4, block]
+    best = out[:, 0, :].reshape(-1)[:n]
+    slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
     k = fat.leaf_tri.shape[1]
-    slot = out[:, 1].astype(jnp.int32)
     hit = slot >= 0
     tri = jnp.where(
         hit, fat.leaf_tri.reshape(-1)[jnp.maximum(slot, 0)], -1
     )
-    best_t = jnp.where(tri >= 0, out[:, 0], T_MAX)
+    best_t = jnp.where(tri >= 0, best, T_MAX)
     # barycentrics of the winner: one feature-row gather + a 10-dot — far
-    # cheaper than carrying two extra [B,K] reductions through every leaf
+    # cheaper than carrying two extra [K,B] reductions through every leaf
     # visit inside the kernel
     from stratum_tpu.ops import mxu as smxu
 
@@ -501,4 +480,4 @@ def pallas_occluded(
         leaf_feat_packed, interpret=interpret, block=block,
         kernel_name="occluded",
     )
-    return out.reshape(-1, 4)[:n, 0] > 0.5
+    return out[:, 0, :].reshape(-1)[:n] > 0.5

@@ -76,6 +76,84 @@ def _render_sharded_jit(scene, view, cfg, seed, mesh):
     return render_path_sharded(scene, view, cfg, seed, mesh)
 
 
+def render_lt_sharded(scene, view, cfg, seed, mesh: Mesh):
+    """Light tracing with light paths sharded over ``mesh``: every device
+    traces its slice of the path budget and produces a PARTIAL splat image;
+    the images ride the ICI through one ``psum`` — the TPU form of the
+    reference's atomic light-trace splats + add_light_trace pass
+    (path.hlsli:40-62, bdpt.hlsl:330-338). Returns [H, W, 3]."""
+    from stratum_tpu.render import lighttrace as slt
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    num_paths = cfg.width * cfg.height
+    if num_paths % n_dev:
+        raise ValueError(f"{num_paths} paths not divisible by {n_dev}")
+    per_dev = num_paths // n_dev
+    lane0 = jnp.arange(n_dev, dtype=jnp.uint32) * np.uint32(per_dev)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            P(axis),
+        ),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def tile_lt(scene_rep, view_rep, lane0_tile):
+        img = slt.trace_light(
+            scene_rep, view_rep, cfg, seed, num_paths=per_dev,
+            lane0=lane0_tile[0], total_paths=num_paths,
+        )
+        return jax.lax.psum(img, axis)
+
+    splat = tile_lt(scene, view, lane0)
+    emission = slt.trace_emission_only(scene, view, cfg, seed)
+    return splat + emission
+
+
+def render_bdpt_sharded(scene, view, cfg, seed, mesh: Mesh):
+    """BDPT with camera pixels AND light paths sharded over ``mesh``.
+    Per-pixel strategies (t>=2) stay local to the owning device; the t=1
+    splat image is psum'd over the ICI. Returns [H, W, 3]."""
+    from stratum_tpu.render import bdpt as sbdpt
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    num_pix = cfg.width * cfg.height
+    if num_pix % n_dev:
+        raise ValueError(f"{num_pix} pixels not divisible by {n_dev}")
+    per_dev = num_pix // n_dev
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    lane0 = jnp.arange(n_dev, dtype=jnp.uint32) * np.uint32(per_dev)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            P(axis),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    def tile_bdpt(scene_rep, view_rep, px_tile, py_tile, lane0_tile):
+        rad, splat = sbdpt.trace_bdpt(
+            scene_rep, view_rep, cfg, seed, px_tile, py_tile,
+            lane0=lane0_tile[0], num_light_paths=num_pix,
+        )
+        return rad, jax.lax.psum(splat, axis)
+
+    rad, splat = tile_bdpt(scene, view, px, py, lane0)
+    return (rad + splat).reshape(cfg.height, cfg.width, 3)
+
+
 def render_path_progressive_sharded(scene, view, cfg, spp: int, mesh, seed0=0):
     acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     for s in range(spp):

@@ -305,9 +305,15 @@ def _cam_factor(view, position, width, height):
     return smath.safe_div(we * cos_c, dist2)
 
 
-def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
+def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
+               px=None, py=None, lane0=0, num_light_paths=None):
     """One bidirectional sample per pixel. Returns (per-pixel radiance
-    [N,3] from strategies with t>=2, splat image [num_pix,3] from t=1)."""
+    [N,3] from strategies with t>=2, splat image [num_pix,3] from t=1).
+
+    ``px``/``py`` default to the full pixel grid; a sharded caller passes
+    its tile plus ``lane0`` (global index of its first lane) so light-path
+    RNG streams stay globally unique — the splat image is then psum'd over
+    the mesh (parallel/mesh.py)."""
     bsdf_eval, _ = _bsdf_fns(cfg)
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
     geo = scene.geo
@@ -316,7 +322,8 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     depth = cfg.max_bounces + 1  # surface vertices per subpath
 
     # ---- camera subpath ---------------------------------------------------
-    px, py = scamera.pixel_grid(width, height)
+    if px is None:
+        px, py = scamera.pixel_grid(width, height)
     st = srng.rng_init(px, py, seed)
     u, st = srng.next_floats(st, 2)
     origin, direction = scamera.generate_rays(view, px, py, u, width, height)
@@ -334,7 +341,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     p_area_sel = jnp.where(
         scene.lights.num_lights > 0, 1.0 - scene.lights.env_probability, 0.0
     )
-    stl = srng.rng_init(jnp.arange(n, dtype=jnp.uint32), _LIGHT_STREAM, seed)
+    stl = srng.rng_init(
+        lane0 + jnp.arange(n, dtype=jnp.uint32), _LIGHT_STREAM, seed
+    )
     u, stl = srng.next_floats(stl, 3)
     ls = slights.sample_area_light(scene, u[..., 0], u[..., 1], u[..., 2])
     ls = ls._replace(pdf_area=ls.pdf_area * p_area_sel)
@@ -583,7 +592,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
             pdf_rev_prev = ev_y.pdf_rev
         cosy = jnp.abs(smath.dot(wi, yc_ns[:, k]))
         cf = _cam_factor(view, yc_pos[:, k], width, height)
-        contrib = yc_beta[:, k] * f_y * (cosy * cf / n)[:, None]
+        contrib = yc_beta[:, k] * f_y * (
+            cosy * cf / (num_light_paths if num_light_paths else n)
+        )[:, None]
         pix, inside, _ = scamera.sensor_importance(
             view, yc_pos[:, k], width, height
         )

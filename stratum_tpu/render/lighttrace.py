@@ -47,20 +47,27 @@ _LIGHT_STREAM = np.uint32(0x9E3779B9)
 
 
 def trace_light(
-    scene: SceneData, view, cfg: RenderConfig, seed, num_paths=None
+    scene: SceneData, view, cfg: RenderConfig, seed, num_paths=None,
+    lane0=0, total_paths=None,
 ):
     """Trace ``num_paths`` light subpaths (default W*H) and splat camera
     connections. Returns the light-traced image [H, W, 3] — an unbiased
     estimate of the same measurement as the forward path tracer EXCEPT
     directly-visible emitters (the t=1 strategy; add an emission-only camera
-    pass for a complete image, as render_lt does)."""
+    pass for a complete image, as render_lt does).
+
+    Sharded callers pass their lane count plus ``lane0`` (global first-lane
+    index, keeps RNG streams globally unique) and ``total_paths`` (the
+    estimator's 1/N normalization); the returned partial splat image is
+    psum'd over the mesh (parallel/mesh.py)."""
     bsdf_eval, bsdf_sample = _bsdf_fns(cfg)
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
     geo = scene.geo
     if num_paths is None:
         num_paths = cfg.width * cfg.height
     n = num_paths
-    path_id = jnp.arange(n, dtype=jnp.uint32)
+    norm = total_paths if total_paths else n
+    path_id = lane0 + jnp.arange(n, dtype=jnp.uint32)
     st = srng.rng_init(path_id, _LIGHT_STREAM, seed)
 
     cam_pos = view.camera_to_world[:, 3]
@@ -143,7 +150,7 @@ def trace_light(
         contrib = (
             beta
             * ev.f
-            * (jnp.abs(wi_cam_local[..., 2]) * adj_ns * w_cam / n)[..., None]
+            * (jnp.abs(wi_cam_local[..., 2]) * adj_ns * w_cam / norm)[..., None]
         )
         ok = alive & (jnp.max(contrib, axis=-1) > 0)
         image, _, _ = splat(image, sp.position, sp.geom_normal, contrib, ok)

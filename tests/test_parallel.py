@@ -48,3 +48,40 @@ def test_sharded_progressive():
         integrator.render_path_progressive(scene, view, cfg, 2)
     )
     np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_lt_matches_unsharded():
+    """Light tracing sharded over the mesh (partial splat images psum'd
+    over the ICI) equals the single-device estimator run: lane0 offsets
+    keep every light path's RNG stream globally identical."""
+    from stratum_tpu.render import lighttrace as slt
+
+    g = builtin.cornell_box(boxes=False)
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    w = h = 32
+    view = camera.make_view(node.to_world(), cam.fovy, w, h)
+    cfg = integrator.RenderConfig(width=w, height=h, max_bounces=2)
+    single = np.asarray(slt.render_lt(scene, view, cfg, 3))
+    m = pmesh.make_mesh()
+    sharded = np.asarray(pmesh.render_lt_sharded(scene, view, cfg, 3, m))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_bdpt_matches_unsharded():
+    """BDPT sharded (pixels + light paths; t=1 splats psum'd) equals the
+    single-device run."""
+    from stratum_tpu.render import bdpt as sbdpt
+
+    g = builtin.cornell_box(boxes=False)
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    w = h = 16
+    view = camera.make_view(node.to_world(), cam.fovy, w, h)
+    cfg = integrator.RenderConfig(
+        width=w, height=h, max_bounces=1, rr_depth=100
+    )
+    single = np.asarray(sbdpt.render_bdpt(scene, view, cfg, 3))
+    m = pmesh.make_mesh()
+    sharded = np.asarray(pmesh.render_bdpt_sharded(scene, view, cfg, 3, m))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)
