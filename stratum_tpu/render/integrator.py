@@ -96,7 +96,39 @@ def resolved_tracer(scene: SceneData, cfg: RenderConfig) -> str:
 def _trace_fns(scene: SceneData, cfg: RenderConfig):
     """Closest-hit / any-hit tracer pair. ``auto`` picks the MXU dense path
     for small scenes and packet traversal for large ones; ``brute`` is the
-    exact oracle used by tests."""
+    exact oracle used by tests. Analytic spheres are merged in by a dense
+    quadratic pass over every tracer (reference: procedural sphere commits
+    inside the RayQuery loop, intersection.hlsli:105-117)."""
+    closest, occluded = _trace_fns_tris(scene, cfg)
+    if scene.spheres.num_spheres == 0:
+        return closest, occluded
+    from stratum_tpu.ops import spheres as sspheres
+    from stratum_tpu.ops.intersect import HitRecord
+
+    sph = scene.spheres
+    t_offset = scene.geo.num_triangles  # sphere sid -> packed row T + sid
+
+    def closest2(o, d, tm=None):
+        h = closest(o, d, tm)
+        t_s, sid, uv = sspheres.intersect_spheres(
+            sph.center, sph.radius, o, d, t_max=tm
+        )
+        closer = t_s < h.t
+        return HitRecord(
+            t=jnp.where(closer, t_s, h.t),
+            tri=jnp.where(closer, t_offset + sid, h.tri),
+            bary=jnp.where(closer[..., None], uv, h.bary),
+        )
+
+    def occluded2(o, d, t):
+        return occluded(o, d, t) | sspheres.occluded_spheres(
+            sph.center, sph.radius, o, d, t
+        )
+
+    return closest2, occluded2
+
+
+def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
     from stratum_tpu.ops import bvh as sbvh
     from stratum_tpu.ops import mxu as smxu
     from stratum_tpu.ops import packet as spacket
@@ -409,6 +441,14 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         cos_light = jnp.abs(smath.dot(direction, sp.geom_normal))
         nee_pdf_area = slights.light_pdf_area(scene, hit.tri, sp.light)
         nee_pdf_w = smath.safe_div(nee_pdf_area * dist2, cos_light)
+        if scene.spheres.num_spheres > 0:
+            # sphere-light hits MIS against the cone NEE strategy that
+            # would have sampled them (point_on_light_pdf analog for the
+            # solid-angle sampler, light.hlsli:154-174)
+            cone_pdf, cone_ok = slights.sphere_cone_pdf_w(
+                scene, origin, sp.light
+            )
+            nee_pdf_w = jnp.where(cone_ok, cone_pdf, nee_pdf_w)
         if not cfg.use_nee:
             # BSDF sampling is the only strategy: full weight everywhere
             w_emit = jnp.ones_like(nee_pdf_w)
@@ -454,8 +494,24 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 sp.position, sp.geom_normal
             )
 
-        def light_sample_geom(ls):
-            """Direction/distance/pdf of a light sample seen from nee_pos."""
+        has_sphere_lights = scene.spheres.num_spheres > 0
+
+        def sample_nee_light(u3):
+            """One NEE light sample from nee_pos: env / area-triangle /
+            sphere-light solid-angle cone (light.hlsli:58-121)."""
+            if has_sphere_lights:
+                return slights.sample_sphere_light_cone(
+                    scene, nee_pos, u3[..., 0], u3[..., 1], u3[..., 2]
+                )
+            ls = slights.sample_light(
+                scene, u3[..., 0], u3[..., 1], u3[..., 2]
+            )
+            return ls, jnp.zeros_like(ls.is_env)
+
+        def light_sample_geom(ls, pdf_is_w):
+            """Direction/distance/pdf of a light sample seen from nee_pos.
+            ``pdf_is_w`` lanes (cone-sampled sphere lights) already carry a
+            solid-angle pdf."""
             to_light = jnp.where(
                 ls.is_env[..., None], ls.position, ls.position - nee_pos
             )
@@ -471,7 +527,9 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             )
             g = jnp.where(ls.is_env, 1.0, smath.safe_div(cos_l, dist * dist))
             pdf_w = jnp.where(
-                ls.is_env, ls.pdf_area, smath.safe_div(ls.pdf_area, g)
+                ls.is_env | pdf_is_w,
+                ls.pdf_area,
+                smath.safe_div(ls.pdf_area, g),
             )
             return wi, dist, cos_l, pdf_w
 
@@ -516,10 +574,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             res = sres.init_reservoir(best, n_lanes)
             for _m in range(cfg.ris_candidates):
                 u, st = srng.next_floats(st, 4)
-                ls = slights.sample_light(
-                    scene, u[..., 0], u[..., 1], u[..., 2]
-                )
-                wi, dist, cos_l, pdf_w = light_sample_geom(ls)
+                ls, pdf_is_w = sample_nee_light(u)
+                wi, dist, cos_l, pdf_w = light_sample_geom(ls, pdf_is_w)
                 f_m, _ = eval_scatter(wi)
                 c_m = f_m * ls.radiance * smath.safe_div(
                     jnp.ones_like(pdf_w), pdf_w
@@ -568,8 +624,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 )
         elif cfg.use_nee:
             u, st = srng.next_floats(st, 3)
-            ls = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
-            wi, dist, cos_l, pdf_w = light_sample_geom(ls)
+            ls, pdf_is_w = sample_nee_light(u)
+            wi, dist, cos_l, pdf_w = light_sample_geom(ls, pdf_is_w)
             f, pdf_fwd = eval_scatter(wi)
             w_nee = jnp.where(
                 jnp.asarray(cfg.use_mis),

@@ -72,8 +72,11 @@ def environment_pdf_w(scene: SceneData, direction):
 
 
 def sample_area_light(scene: SceneData, u_sel, u1, u2) -> LightSampleRecord:
-    """Pick an emissive triangle from the power distribution and a uniform
-    point on it. pdf_area = P(light) / area (light.hlsli:122-140).
+    """Pick an emissive primitive from the power distribution and a uniform
+    point on it: uniform-barycentric for triangles (light.hlsli:122-140),
+    uniform-sphere for analytic sphere lights (the uniform branch of
+    light.hlsli:58-121; the solid-angle cone sampler lives in
+    ``sample_sphere_light_cone``). pdf_area = P(light) / area.
 
     One packed-row gather per sample (see GeometrySoA.packed_tri)."""
     lights = scene.lights
@@ -87,6 +90,13 @@ def sample_area_light(scene: SceneData, u_sel, u1, u2) -> LightSampleRecord:
     b1, b2 = smath.sample_uniform_triangle(u1, u2)
     pos = p0 + e1 * b1[..., None] + e2 * b2[..., None]
     n = smath.normalize(jnp.cross(e1, e2))
+    # sphere-light rows (slot 15 flag): p0 = center, slot 3 = radius
+    is_sphere = row[..., 15] > 0.5
+    sdir = smath.sample_uniform_sphere(u1, u2)
+    pos = jnp.where(
+        is_sphere[..., None], p0 + sdir * row[..., 3:4], pos
+    )
+    n = jnp.where(is_sphere[..., None], sdir, n)
     sel_pdf = row[..., 13]
     area = jnp.maximum(row[..., 12], 1e-12)
     radiance = row[..., 9:12]
@@ -146,3 +156,93 @@ def env_pdf_w_mis(scene: SceneData, direction):
         scene.lights.num_lights > 0, scene.lights.env_probability, 1.0
     )
     return environment_pdf_w(scene, direction) * p_env
+
+
+def sample_sphere_light_cone(scene: SceneData, ref_pos, u_sel, u1, u2):
+    """Receiver-aware NEE sampling: sphere lights sample the subtended
+    SOLID-ANGLE CONE (with the reference's small-angle fallback,
+    light.hlsli:58-121) instead of uniform area — the variance win analytic
+    sphere lights exist for. Triangle/env rows fall back to the regular
+    samplers.
+
+    Returns (LightSampleRecord, pdf_is_w [N] bool): where pdf_is_w is True,
+    ``pdf_area`` already holds the solid-angle pdf of the sampled direction
+    (like env records).
+    """
+    base = sample_light(scene, u_sel, u1, u2)
+    lights = scene.lights
+    # reconstruct which row was picked to test the sphere flag — mirrors
+    # sample_light's area-branch remap exactly (raw split probability)
+    p_env_raw = lights.env_probability
+    u_area = jnp.clip(
+        (u_sel - p_env_raw) / jnp.maximum(1.0 - p_env_raw, 1e-6),
+        0.0, 1.0 - 1e-7,
+    )
+    p_env = jnp.where(lights.num_lights > 0, lights.env_probability, 1.0)
+    li, _, _ = sample_dist1d(lights.power_dist, u_area)
+    li = jnp.minimum(li, jnp.maximum(lights.num_lights, 1) - 1)
+    row = lights.packed[li]
+    is_sphere = (row[..., 15] > 0.5) & ~base.is_env
+    center = row[..., 0:3]
+    radius = row[..., 3]
+    sel_pdf = row[..., 13]
+
+    to_c = center - ref_pos
+    d2 = smath.length_squared(to_c)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    inside = d2 <= radius * radius * 1.0001
+    sin2_max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-20), 0.0, 1.0)
+    cos_max = smath.safe_sqrt(1.0 - sin2_max)
+    # sample a direction in the cone about to_c
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    sin_t = smath.safe_sqrt(1.0 - cos_t * cos_t)
+    phi = smath.TWO_PI * u2
+    axis = to_c / d[..., None]
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    wi = smath.to_world(local, axis)
+    # hit point on the sphere along wi (project to the near intersection)
+    b = smath.dot(-to_c, wi)
+    disc = jnp.maximum(b * b - (d2 - radius * radius), 0.0)
+    t_hit = -b - jnp.sqrt(disc)
+    pos = ref_pos + wi * t_hit[..., None]
+    nrm = smath.normalize(pos - center)
+    pdf_w = sel_pdf / jnp.maximum(
+        smath.TWO_PI * (1.0 - cos_max), 1e-9
+    ) * jnp.where(lights.num_lights > 0, 1.0 - p_env, 0.0)
+    use_cone = is_sphere & ~inside & (cos_max < 1.0 - 1e-7)
+    rec = LightSampleRecord(
+        position=jnp.where(use_cone[..., None], pos, base.position),
+        normal=jnp.where(use_cone[..., None], nrm, base.normal),
+        radiance=base.radiance,
+        pdf_area=jnp.where(use_cone, pdf_w, base.pdf_area),
+        is_env=base.is_env,
+        tri=base.tri,
+    )
+    return rec, use_cone
+
+
+def sphere_cone_pdf_w(scene: SceneData, ref_pos, light_row):
+    """Solid-angle pdf of :func:`sample_sphere_light_cone` having produced
+    a direction that hits sphere light ``light_row`` from ``ref_pos`` — the
+    MIS counterpart used when a BSDF ray hits a sphere emitter
+    (point_on_light_pdf, light.hlsli:154-174). Returns (pdf_w, is_sphere)."""
+    lights = scene.lights
+    li = jnp.maximum(light_row, 0)
+    row = lights.packed[li]
+    is_sphere = (row[..., 15] > 0.5) & (light_row >= 0)
+    center = row[..., 0:3]
+    radius = row[..., 3]
+    sel_pdf = row[..., 13]
+    d2 = smath.length_squared(center - ref_pos)
+    sin2_max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-20), 0.0, 1.0)
+    cos_max = smath.safe_sqrt(1.0 - sin2_max)
+    p_env = jnp.where(lights.num_lights > 0, lights.env_probability, 1.0)
+    pdf_w = sel_pdf / jnp.maximum(
+        smath.TWO_PI * (1.0 - cos_max), 1e-9
+    ) * jnp.where(lights.num_lights > 0, 1.0 - p_env, 0.0)
+    usable = is_sphere & (d2 > radius * radius * 1.0001) & (
+        cos_max < 1.0 - 1e-7
+    )
+    return pdf_w, usable

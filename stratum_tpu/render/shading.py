@@ -86,6 +86,30 @@ def make_shading_point(
     # uv area per world area: sqrt drives the ray-cone mip LOD
     # (uv_screen_size, shading_data.h:10-37)
     uv_area = smath.safe_div(jnp.abs(det) * 0.5, jnp.maximum(area, 1e-20))
+
+    # -- analytic sphere rows (appended after the padded triangles; row
+    # slot 27 is the sphere flag — reference sphere shading data,
+    # shading_data.hlsli:93-105). bary carries (phi/2pi, theta/pi).
+    is_sphere = row[..., 27] > 0.5
+    center = p0
+    radius = row[..., 3]
+    sph_n = smath.spherical_uv_to_cartesian(bary)
+    sph_pos = center + sph_n * radius[..., None]
+    sph_tangent, _ = smath.make_orthonormal(sph_n)
+    position = jnp.where(is_sphere[..., None], sph_pos, position)
+    ng = jnp.where(is_sphere[..., None], sph_n, ng)
+    ns = jnp.where(is_sphere[..., None], sph_n, ns)
+    uv = jnp.where(is_sphere[..., None], bary, uv)
+    area = jnp.where(
+        is_sphere, 4.0 * jnp.pi * radius * radius, area
+    )
+    tangent = jnp.where(is_sphere[..., None], sph_tangent, tangent)
+    uv_area = jnp.where(
+        is_sphere,
+        smath.safe_div(1.0, jnp.maximum(4.0 * jnp.pi * radius * radius, 1e-20)),
+        uv_area,
+    )
+
     front = smath.dot(direction, ng) < 0.0
     sign = jnp.where(front, 1.0, -1.0)[..., None]
     return ShadingPoint(

@@ -77,6 +77,17 @@ def tessellate_sphere(radius: float, stacks: int = 32, slices: int = 64):
             if a < stacks - 1:
                 idx.append((v01, v10, v11))
     indices = np.asarray(idx, np.int32)
+    # enforce OUTWARD geometric normals (emission and light-side cosines
+    # gate on the front face; an inward winding makes emissive spheres
+    # black). Flip triangles whose face normal opposes the radial direction.
+    p = pos.astype(np.float32)
+    fn = np.cross(
+        p[indices[:, 1]] - p[indices[:, 0]],
+        p[indices[:, 2]] - p[indices[:, 0]],
+    )
+    centroid = (p[indices[:, 0]] + p[indices[:, 1]] + p[indices[:, 2]]) / 3
+    flip = np.einsum("ij,ij->i", fn, centroid) < 0
+    indices[flip] = indices[flip][:, ::-1]
     return (pos * radius).astype(np.float32), pos.astype(np.float32), uv.astype(
         np.float32
     ), indices
@@ -152,14 +163,37 @@ def flatten(root: Node, env_probability: float = 0.5):
 
     env_component: Optional[EnvironmentComponent] = None
     media_list: list = []
+    sphere_list: list = []
     for node in root.descendants():
         mp = node.find(MeshPrimitive)
         if mp is not None:
             add_mesh(node, mp.positions, mp.indices, mp.normals, mp.uvs, mp.material)
         sp = node.find(SpherePrimitive)
         if sp is not None:
-            pos, nrm, uv, idx = tessellate_sphere(sp.radius, sp.stacks, sp.slices)
-            add_mesh(node, pos, idx, nrm, uv, sp.material)
+            if sp.analytic:
+                # first-class analytic sphere: exact quadratic hits in the
+                # tracers (reference: procedural sphere instances,
+                # intersection.hlsli:105-117)
+                m = node.to_world()
+                center = m[:, :3] @ np.zeros(3, np.float32) + m[:, 3]
+                # uniform scale assumed (the reference's sphere instances
+                # carry a radius, not a general transform)
+                scale = float(np.cbrt(abs(np.linalg.det(m[:, :3]))))
+                sphere_list.append(
+                    dict(
+                        center=np.asarray(center, np.float32),
+                        radius=np.float32(sp.radius * scale),
+                        material=material_row(sp.material),
+                        instance=stats.num_instances,
+                    )
+                )
+                stats.num_instances += 1
+                stats.instance_names.append(node.name)
+            else:
+                pos, nrm, uv, idx = tessellate_sphere(
+                    sp.radius, sp.stacks, sp.slices
+                )
+                add_mesh(node, pos, idx, nrm, uv, sp.material)
         ec = node.find(EnvironmentComponent)
         if ec is not None:
             env_component = ec
@@ -178,8 +212,17 @@ def flatten(root: Node, env_probability: float = 0.5):
                 )
             )
 
-    if not all_pos:
+    if not all_pos and not sphere_list:
         raise ValueError("scene contains no geometry")
+    if not all_pos:
+        # all-analytic scene: the triangle pipeline still needs one
+        # (degenerate, unhittable) triangle to anchor the padded arrays
+        all_pos.append(np.zeros((3, 3), np.float32))
+        all_nrm.append(np.tile([[0.0, 0.0, 1.0]], (3, 1)).astype(np.float32))
+        all_uv.append(np.zeros((3, 2), np.float32))
+        all_idx.append(np.zeros((1, 3), np.int32))
+        all_tri_mat.append(np.full((1,), -1, np.int32))
+        all_tri_inst.append(np.zeros((1,), np.int32))
 
     positions = np.concatenate(all_pos)
     normals = np.concatenate(all_nrm)
@@ -248,16 +291,56 @@ def flatten(root: Node, env_probability: float = 0.5):
     else:
         env = schema.constant_environment((0.0, 0.0, 0.0))
 
+    # analytic spheres (SoA; padding-free — S is whatever the scene has)
+    sph_center = np.stack(
+        [s["center"] for s in sphere_list]
+    ).astype(np.float32) if sphere_list else np.zeros((0, 3), np.float32)
+    sph_radius = np.asarray(
+        [s["radius"] for s in sphere_list], np.float32
+    )
+    sph_mat = np.asarray(
+        [s["material"] for s in sphere_list], np.int32
+    )
+    sph_inst = np.asarray(
+        [s["instance"] for s in sphere_list], np.int32
+    )
+
     # lights over padded triangle arrays (padding rows have tri_material=-1)
+    # + emissive analytic spheres as first-class sphere lights
     pos_p, nrm_p, uv_p, idx_p, mat_p, inst_p = schema.build_geometry(
         positions, normals, uvs, indices, tri_mat, tri_inst
     )
-    lights, tri_light_p = schema.build_lights(
+    lights, tri_light_p, sphere_light = schema.build_lights(
         pos_p,
         idx_p,
         mat_p,
         np.asarray(device_mats.emission),
         env_probability=env_probability if has_env else 0.0,
+        sphere_center=sph_center,
+        sphere_radius=sph_radius,
+        sphere_material=sph_mat,
+    )
+
+    packed_rows = schema.pack_tri_rows(
+        pos_p, nrm_p, uv_p, idx_p, mat_p, tri_light_p, inst_p
+    )
+    if len(sphere_list):
+        # sphere shading rows appended after the padded triangles: a hit
+        # with tri >= num_triangles is sphere tri - num_triangles
+        packed_rows = np.concatenate(
+            [
+                packed_rows,
+                schema.pack_sphere_rows(
+                    sph_center, sph_radius, sph_mat, sphere_light, sph_inst
+                ),
+            ]
+        )
+    spheres = schema.SphereSoA(
+        center=jnp.asarray(sph_center),
+        radius=jnp.asarray(sph_radius),
+        material=jnp.asarray(sph_mat),
+        light=jnp.asarray(sphere_light),
+        instance=jnp.asarray(sph_inst),
     )
 
     geo = schema.GeometrySoA(
@@ -268,11 +351,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         tri_material=jnp.asarray(mat_p),
         tri_light=jnp.asarray(tri_light_p),
         tri_instance=jnp.asarray(inst_p),
-        packed_tri=jnp.asarray(
-            schema.pack_tri_rows(
-                pos_p, nrm_p, uv_p, idx_p, mat_p, tri_light_p, inst_p
-            )
-        ),
+        packed_tri=jnp.asarray(packed_rows),
     )
     # acceleration structure (reference: TLAS build, Scene.cpp:614-629)
     from stratum_tpu.ops.bvh import build_bvh
@@ -308,6 +387,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         fat_bvh=fat_bvh,
         leaf_feat_packed=leaf_feat_packed,
         media=media,
+        spheres=spheres,
     )
 
     stats.num_triangles = int(indices.shape[0])

@@ -181,13 +181,17 @@ class MeshPrimitive:
 
 @dataclasses.dataclass
 class SpherePrimitive:
-    """Analytic sphere (reference: Scene.hpp SpherePrimitive). Flattened to a
-    triangle mesh until spheres are first-class in the tracer."""
+    """Sphere primitive (reference: Scene.hpp SpherePrimitive). With
+    ``analytic=True`` the sphere is traced exactly (quadratic hits +
+    first-class sphere lights, reference intersection.hlsli:105-117,
+    light.hlsli:58-121); otherwise it is tessellated to ``stacks x slices``
+    triangles at flatten time."""
 
     radius: float = 1.0
     material: Optional[Any] = None
     stacks: int = 32
     slices: int = 64
+    analytic: bool = False
     node: Optional[Node] = None
 
 

@@ -96,6 +96,51 @@ class DisneyMaterials(NamedTuple):
         return self.base_color.shape[0]
 
 
+class SphereSoA(NamedTuple):
+    """Analytic sphere primitives (reference: INSTANCE_SPHERE procedural
+    AABBs with exact ray_sphere hits, scene.h:13-15 +
+    intersection.hlsli:105-117). Radius <= 0 marks padding rows; shading
+    data for sphere hits comes from rows APPENDED to ``packed_tri`` (the
+    sphere sid's row sits at index num_triangles + sid with the sphere
+    flag set at slot 27)."""
+
+    center: jnp.ndarray  # f32 [S, 3] world space
+    radius: jnp.ndarray  # f32 [S]
+    material: jnp.ndarray  # i32 [S]
+    light: jnp.ndarray  # i32 [S] light row or -1
+    instance: jnp.ndarray  # i32 [S]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.radius.shape[0]
+
+
+def empty_spheres() -> SphereSoA:
+    return SphereSoA(
+        center=jnp.zeros((0, 3), jnp.float32),
+        radius=jnp.zeros((0,), jnp.float32),
+        material=jnp.zeros((0,), jnp.int32),
+        light=jnp.full((0,), -1, jnp.int32),
+        instance=jnp.zeros((0,), jnp.int32),
+    )
+
+
+def pack_sphere_rows(center, radius, material, light, instance) -> np.ndarray:
+    """[S, 32] shading rows for analytic spheres, appended to packed_tri:
+    [0:3]=center, [3]=radius, [24]=material, [25]=light, [26]=instance,
+    [27]=1.0 (sphere flag). make_shading_point reconstructs position/
+    normal/uv from (row, bary=(phi/2pi, theta/pi))."""
+    s = radius.shape[0]
+    rows = np.zeros((s, 32), np.float32)
+    rows[:, 0:3] = center
+    rows[:, 3] = radius
+    rows[:, 24] = material
+    rows[:, 25] = light
+    rows[:, 26] = instance
+    rows[:, 27] = 1.0
+    return rows
+
+
 class LightData(NamedTuple):
     """Emissive-triangle light table + power distribution (reference: light
     instance map + power CDF, Scene.cpp:602-612, sampled by
@@ -134,6 +179,7 @@ class SceneData(NamedTuple):
     fat_bvh: "FatBVH"  # ops/packet.py block-traversal structure
     leaf_feat_packed: jnp.ndarray  # f32 [L,16,4K] Pallas DMA slabs
     media: "MediumData"  # render/medium.py volume stack (gVolumeCount analog)
+    spheres: SphereSoA  # analytic sphere primitives (ops/spheres.py)
 
 
 # ---------------------------------------------------------------------------
@@ -279,9 +325,15 @@ def build_lights(
     tri_material: np.ndarray,
     emission: np.ndarray,
     env_probability: float = 0.0,
-) -> tuple[LightData, np.ndarray]:
-    """Find emissive triangles, build the power distribution
-    (reference: Scene.cpp:602-612). Returns (LightData, tri_light[T])."""
+    sphere_center: np.ndarray | None = None,
+    sphere_radius: np.ndarray | None = None,
+    sphere_material: np.ndarray | None = None,
+) -> tuple:
+    """Find emissive triangles AND emissive analytic spheres, build the
+    power distribution (reference: Scene.cpp:602-612; sphere lights =
+    light.hlsli:58-121). Light row slot 15 is the type flag (0 triangle,
+    1 sphere; sphere rows: slot 0:3 = center, 3 = radius, 12 = 4 pi r^2).
+    Returns (LightData, tri_light[T], sphere_light[S])."""
     t = indices.shape[0]
     tri_light = np.full((t,), -1, np.int32)
     valid = tri_material >= 0
@@ -289,20 +341,29 @@ def build_lights(
     lum[valid] = emission[tri_material[valid]].mean(axis=-1)
     light_tris = np.nonzero(lum > 0.0)[0].astype(np.int32)
     nl = len(light_tris)
-    npad = max(_pad_to(max(nl, 1), 8), 8)
+    s = 0 if sphere_radius is None else sphere_radius.shape[0]
+    sphere_light = np.full((s,), -1, np.int32)
+    if s:
+        light_sph = np.nonzero(
+            (emission[np.maximum(sphere_material, 0)].mean(axis=-1) > 0)
+            & (sphere_radius > 0)
+        )[0].astype(np.int32)
+    else:
+        light_sph = np.zeros((0,), np.int32)
+    ns = len(light_sph)
+    ntot = nl + ns
+    npad = max(_pad_to(max(ntot, 1), 8), 8)
     tri_light[light_tris] = np.arange(nl, dtype=np.int32)
+    sphere_light[light_sph] = nl + np.arange(ns, dtype=np.int32)
     areas = np.zeros((npad,), np.float32)
     powers = np.zeros((npad,), np.float32)
     tri_idx = np.zeros((npad,), np.int32)
+    packed = np.zeros((npad, 16), np.float32)
     if nl:
         a = triangle_areas(positions, indices[light_tris])
         areas[:nl] = a
         powers[:nl] = lum[light_tris] * a * np.pi  # two-sided handled at eval
         tri_idx[:nl] = light_tris
-    weights = powers if powers.sum() > 0 else np.ones((npad,), np.float32)
-    power_dist = build_dist1d(weights)
-    packed = np.zeros((npad, 16), np.float32)
-    if nl:
         p0 = positions[indices[light_tris, 0]]
         p1 = positions[indices[light_tris, 1]]
         p2 = positions[indices[light_tris, 2]]
@@ -310,6 +371,19 @@ def build_lights(
         packed[:nl, 3:6] = p1 - p0
         packed[:nl, 6:9] = p2 - p0
         packed[:nl, 9:12] = emission[tri_material[light_tris]]
+    if ns:
+        r = sphere_radius[light_sph]
+        a = 4.0 * np.pi * r * r
+        le = emission[sphere_material[light_sph]]
+        areas[nl:ntot] = a
+        powers[nl:ntot] = le.mean(axis=-1) * a * np.pi
+        tri_idx[nl:ntot] = -2 - light_sph  # encoded: not a triangle row
+        packed[nl:ntot, 0:3] = sphere_center[light_sph]
+        packed[nl:ntot, 3] = r
+        packed[nl:ntot, 9:12] = le
+        packed[nl:ntot, 15] = 1.0
+    weights = powers if powers.sum() > 0 else np.ones((npad,), np.float32)
+    power_dist = build_dist1d(weights)
     packed[:, 12] = areas
     packed[:, 13] = np.asarray(power_dist.pdf) / npad  # discrete mass
     packed[:, 14] = tri_idx
@@ -319,9 +393,10 @@ def build_lights(
             area=jnp.asarray(areas),
             power=jnp.asarray(powers),
             power_dist=power_dist,
-            num_lights=jnp.asarray(nl, jnp.int32),
+            num_lights=jnp.asarray(ntot, jnp.int32),
             env_probability=jnp.asarray(env_probability, jnp.float32),
             packed=jnp.asarray(packed),
         ),
         tri_light,
+        sphere_light,
     )
