@@ -147,11 +147,20 @@ def main(argv=None) -> int:
         ris_candidates=opts.get_int("ris", 1)
         if opts.get_str("integrator", "path") != "restir" else 1,
         sort_rays=opts.get_bool("sortRays", False),
+        defer_shadows=opts.get_bool("deferShadows", True),
+        presample_lights=opts.get_int("presampleLights", 0),
     )
     integrator_name = opts.get_str("integrator", "path")
 
     t0 = time.time()
-    if integrator_name == "direct":
+    if opts.has("debug"):
+        # renderer debug views (reference: BDPTDebugMode, bdpt.h:177-193)
+        from stratum_tpu.render import debug as sdebug
+
+        img = sdebug.render_debug(
+            scene, view, cfg, opts.get_str("debug", "albedo"), seed, spp
+        )
+    elif integrator_name == "direct":
         img = sintegrator.render_direct_progressive(scene, view, cfg, spp, seed)
     elif integrator_name == "path":
         img = sintegrator.render_path_progressive(scene, view, cfg, spp, seed)

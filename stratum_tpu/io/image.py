@@ -197,6 +197,137 @@ def read_pfm(path) -> np.ndarray:
     return arr[::-1].astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# OpenEXR (scanline, FLOAT/HALF, uncompressed + ZIP) — reference uses
+# tinyexr (Core/Image.cpp:60); this is a dependency-free subset covering
+# what renderers exchange: RGB(A) scanline images.
+# ---------------------------------------------------------------------------
+
+_EXR_MAGIC = 20000630
+
+
+def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
+    return name + b"\x00" + typ + b"\x00" + struct.pack("<I", len(data)) + data
+
+
+def write_exr(path, image: np.ndarray):
+    """Write float32 [H,W,3] as an uncompressed FLOAT scanline EXR."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    h, w, c = img.shape
+    assert c >= 3, "write_exr expects RGB"
+    chan = b""
+    for name in (b"B", b"G", b"R"):  # alphabetical per spec
+        chan += name + b"\x00" + struct.pack("<IIII", 2, 0, 1, 1)  # FLOAT
+    chan += b"\x00"
+    header = b""
+    header += _exr_attr(b"channels", b"chlist", chan)
+    header += _exr_attr(b"compression", b"compression", b"\x00")  # NONE
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header += _exr_attr(b"dataWindow", b"box2i", box)
+    header += _exr_attr(b"displayWindow", b"box2i", box)
+    header += _exr_attr(b"lineOrder", b"lineOrder", b"\x00")
+    header += _exr_attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += _exr_attr(
+        b"screenWindowCenter", b"v2f", struct.pack("<ff", 0.0, 0.0)
+    )
+    header += _exr_attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\x00"
+    preamble = struct.pack("<II", _EXR_MAGIC, 2) + header
+    # scanline offset table then chunks: y, size, B row, G row, R row
+    row_bytes = 8 + 3 * 4 * w
+    offset0 = len(preamble) + 8 * h
+    offsets = struct.pack("<" + "Q" * h, *(offset0 + row_bytes * y for y in range(h)))
+    chunks = []
+    for y in range(h):
+        data = (
+            img[y, :, 2].tobytes()
+            + img[y, :, 1].tobytes()
+            + img[y, :, 0].tobytes()
+        )
+        chunks.append(struct.pack("<ii", y, len(data)) + data)
+    Path(path).write_bytes(preamble + offsets + b"".join(chunks))
+
+
+def read_exr(path) -> np.ndarray:
+    """Read a scanline EXR (FLOAT/HALF channels, NONE/ZIP/ZIPS compression)
+    to float32 [H,W,C] with channels ordered RGB(A) when present."""
+    data = Path(path).read_bytes()
+    magic, version = struct.unpack_from("<II", data, 0)
+    assert magic == _EXR_MAGIC, "not an EXR file"
+    assert version & 0x200 == 0, "tiled EXR not supported"
+    pos = 8
+    channels = []  # (name, pixel_type)
+    compression = 0
+    xmin = ymin = xmax = ymax = 0
+    while data[pos] != 0:
+        e = data.index(b"\x00", pos)
+        name = data[pos:e].decode()
+        pos = e + 1
+        e = data.index(b"\x00", pos)
+        typ = data[pos:e].decode()
+        pos = e + 1
+        (size,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        body = data[pos : pos + size]
+        pos += size
+        if name == "channels":
+            cp = 0
+            while body[cp] != 0:
+                ce = body.index(b"\x00", cp)
+                cname = body[cp:ce].decode()
+                ptype = struct.unpack_from("<I", body, ce + 1)[0]
+                channels.append((cname, ptype))
+                cp = ce + 1 + 16
+        elif name == "compression":
+            compression = body[0]
+        elif name == "dataWindow":
+            xmin, ymin, xmax, ymax = struct.unpack("<iiii", body)
+    pos += 1  # header terminator
+    w = xmax - xmin + 1
+    h = ymax - ymin + 1
+    assert compression in (0, 2, 3), (
+        f"EXR compression {compression} unsupported (NONE/ZIPS/ZIP only)"
+    )
+    lines_per_chunk = {0: 1, 2: 1, 3: 16}[compression]
+    nchunks = -(-h // lines_per_chunk)
+    offsets = struct.unpack_from("<" + "Q" * nchunks, data, pos)
+    dtypes = {0: np.uint32, 1: np.float16, 2: np.float32}
+    sizes = {0: 4, 1: 2, 2: 4}
+    out = {name: np.zeros((h, w), np.float32) for name, _ in channels}
+    for off in offsets:
+        y0, size = struct.unpack_from("<ii", data, off)
+        raw = data[off + 8 : off + 8 + size]
+        ny = min(lines_per_chunk, ymax - y0 + 1)
+        expect = ny * sum(w * sizes[pt] for _, pt in channels)
+        if compression != 0 and size < expect:
+            raw = zlib.decompress(raw)
+            # OpenEXR ZIP post-filter: undo delta-encoding, de-interleave
+            arr = np.frombuffer(raw, np.uint8).astype(np.int16)
+            deltas = np.cumsum(
+                np.concatenate([arr[:1], (arr[1:] - 128) % 256])
+            ) % 256
+            half = (len(deltas) + 1) // 2
+            inter = np.zeros(len(deltas), np.uint8)
+            inter[0::2] = deltas[:half].astype(np.uint8)
+            inter[1::2] = deltas[half : half + len(deltas) // 2].astype(
+                np.uint8
+            )
+            raw = inter.tobytes()
+        cp = 0
+        for yy in range(ny):
+            for cname, ptype in channels:
+                nb = w * sizes[ptype]
+                row = np.frombuffer(raw, dtypes[ptype], w, cp)
+                out[cname][y0 - ymin + yy] = row.astype(np.float32)
+                cp += nb
+    order = [c for c in ("R", "G", "B", "A") if c in out]
+    if not order:
+        order = sorted(out)
+    return np.stack([out[c] for c in order], axis=-1)
+
+
 def load_image(path, srgb: bool | None = None) -> np.ndarray:
     """Load any common image format to float32 linear [H,W,C]
     (reference: Image::load_image_data via stb/tinyexr, Core/Image.cpp:60).
@@ -210,6 +341,8 @@ def load_image(path, srgb: bool | None = None) -> np.ndarray:
         return read_pfm(p)
     if low.endswith(".npy"):
         return np.load(p).astype(np.float32)
+    if low.endswith(".exr"):
+        return read_exr(p)
     try:
         from PIL import Image as PILImage
 
@@ -248,5 +381,7 @@ def save_image(path, image: np.ndarray, tonemapped: bool = False):
         write_pfm(p, img)
     elif p.endswith(".npy"):
         np.save(p, img)
+    elif p.endswith(".exr"):
+        write_exr(p, img)
     else:
         raise ValueError(f"unknown image extension: {p}")

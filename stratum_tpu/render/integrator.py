@@ -72,6 +72,20 @@ class RenderConfig:
                                 # cross-bounce batching amortizes candidate
                                 # prep and lets one sort cohere all shadow
                                 # rays together
+    presample_lights: int = 0  # >0: draw this many light samples ONCE per
+                               # frame into a tile and let every NEE lane
+                               # pick one with a single row gather instead
+                               # of per-lane CDF searches (reference:
+                               # ePresampleLights + presample_lights kernel,
+                               # bdpt.hlsl:86-99, PresampledLightPoint
+                               # bdpt.h:92-100). Unbiased: tile entries are
+                               # iid draws from the light distribution.
+    debug_path_edges: int = 0  # >0: keep only contributions whose path has
+                               # exactly this many edges — the estimator
+                               # microscope (reference:
+                               # ePathLengthContribution debug mode,
+                               # bdpt.h:177-193; the per-length views sum
+                               # to the full image)
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -331,6 +345,29 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     # rays/sec display, Node/BDPT.cpp:197-202, 385-391)
     n_rays = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32)
 
+    # presampled light tile (reference: presample_lights, bdpt.hlsl:86-99):
+    # T iid light samples drawn once per frame; NEE lanes pick one row each
+    if cfg.use_nee and cfg.presample_lights > 0:
+        t_tile = cfg.presample_lights
+        st_tile = srng.rng_init(
+            jnp.arange(t_tile, dtype=jnp.uint32),
+            np.uint32(0x1EA51E57), seed,
+        )
+        ut, _ = srng.next_floats(st_tile, 3)
+        tl = slights.sample_light(scene, ut[..., 0], ut[..., 1], ut[..., 2])
+        light_tile = jnp.concatenate(
+            [
+                tl.position, tl.normal, tl.radiance,
+                tl.pdf_area[:, None],
+                tl.is_env.astype(jnp.float32)[:, None],
+                tl.tri.astype(jnp.float32)[:, None],
+                jnp.zeros((t_tile, 4), jnp.float32),
+            ],
+            axis=-1,
+        )  # [T, 16]
+    else:
+        light_tile = None
+
     def bounce(carry, _):
         (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
          n_rays, cone_dist, pixel_idx) = carry
@@ -429,6 +466,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             # bounce direct, the BSDF-sampling side of the pair ReSTIR DI
             # replaces) belong to the direct pass
             miss = miss & (depth >= 2)
+        if cfg.debug_path_edges > 0:
+            miss = miss & (depth + 1 == cfg.debug_path_edges)
         radiance = radiance + jnp.where(
             miss[..., None], beta * env_le * w_env[..., None], 0.0
         )
@@ -437,14 +476,17 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         is_emissive = alive & hit.hit & (sp.light >= 0) & sp.front_face & ~in_medium
         if cfg.indirect_only:
             is_emissive = is_emissive & (depth >= 2)
+        if cfg.debug_path_edges > 0:
+            is_emissive = is_emissive & (depth + 1 == cfg.debug_path_edges)
         dist2 = smath.length_squared(sp.position - origin)
         cos_light = jnp.abs(smath.dot(direction, sp.geom_normal))
         nee_pdf_area = slights.light_pdf_area(scene, hit.tri, sp.light)
         nee_pdf_w = smath.safe_div(nee_pdf_area * dist2, cos_light)
-        if scene.spheres.num_spheres > 0:
+        if scene.spheres.num_spheres > 0 and cfg.presample_lights == 0:
             # sphere-light hits MIS against the cone NEE strategy that
             # would have sampled them (point_on_light_pdf analog for the
-            # solid-angle sampler, light.hlsli:154-174)
+            # solid-angle sampler, light.hlsli:154-174); presampled tiles
+            # store area samples, so MIS stays in area measure there
             cone_pdf, cone_ok = slights.sphere_cone_pdf_w(
                 scene, origin, sp.light
             )
@@ -498,7 +540,23 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
         def sample_nee_light(u3):
             """One NEE light sample from nee_pos: env / area-triangle /
-            sphere-light solid-angle cone (light.hlsli:58-121)."""
+            sphere-light solid-angle cone (light.hlsli:58-121); with
+            presampling on, one gather from the per-frame tile instead."""
+            if cfg.presample_lights > 0:
+                idx = jnp.minimum(
+                    (u3[..., 0] * cfg.presample_lights).astype(jnp.int32),
+                    cfg.presample_lights - 1,
+                )
+                row = light_tile[idx]  # the only gather
+                ls = slights.LightSampleRecord(
+                    position=row[..., 0:3],
+                    normal=row[..., 3:6],
+                    radiance=row[..., 6:9],
+                    pdf_area=row[..., 9],
+                    is_env=row[..., 10] > 0.5,
+                    tri=row[..., 11].astype(jnp.int32),
+                )
+                return ls, jnp.zeros_like(ls.is_env)
             if has_sphere_lights:
                 return slights.sample_sphere_light_cone(
                     scene, nee_pos, u3[..., 0], u3[..., 1], u3[..., 2]
@@ -556,6 +614,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         nee_allowed = (
             alive & (depth >= 1) if cfg.indirect_only else alive
         )
+        if cfg.debug_path_edges > 0:
+            nee_allowed = nee_allowed & (depth + 2 == cfg.debug_path_edges)
 
         # -- NEE (connect_light, path.hlsli:310-366); with
         # cfg.ris_candidates > 1 the candidate is reservoir-selected by its

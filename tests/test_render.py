@@ -165,3 +165,25 @@ def test_deferred_shadows_match_inline(cornell):
         )
     )
     np.testing.assert_allclose(sorted_def, inline, rtol=1e-4, atol=1e-5)
+
+
+def test_presampled_lights_consistent(cornell):
+    """NEE through the presampled light tile (reference: presample_lights,
+    bdpt.hlsl:86-99) converges to the same mean as per-lane sampling."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    spp = 48
+    base_cfg = integrator.RenderConfig(32, 32, max_bounces=2)
+    tile_cfg = integrator.RenderConfig(
+        32, 32, max_bounces=2, presample_lights=256
+    )
+    base = np.asarray(
+        integrator.render_path_progressive(scene, view, base_cfg, spp)
+    )
+    tiled = np.asarray(
+        integrator.render_path_progressive(scene, view, tile_cfg, spp)
+    )
+    assert np.isfinite(tiled).all()
+    assert tiled.mean() == pytest.approx(base.mean(), rel=0.05), (
+        tiled.mean(), base.mean()
+    )
