@@ -53,6 +53,18 @@ def build_scene(opts):
         from stratum_tpu.scene.loaders.mitsuba import load_mitsuba
 
         load_mitsuba(g.root, path)
+    elif ext == ".ply":
+        from stratum_tpu.scene.loaders.ply import load_ply_mesh
+        from stratum_tpu.scene.graph import MeshPrimitive
+
+        pos, nrm, uvs, idx = load_ply_mesh(path)
+        g.root.add_child(path.stem).make_component(
+            MeshPrimitive(positions=pos, indices=idx, normals=nrm, uvs=uvs)
+        )
+    elif ext == ".stl":
+        from stratum_tpu.scene.loaders.stl import load_stl
+
+        load_stl(g.root, path)
     else:
         raise ValueError(f"unsupported scene extension {ext!r}")
     return g
@@ -119,7 +131,11 @@ def main(argv=None) -> int:
         mod = importlib.import_module(plug)
         if hasattr(mod, "register"):
             mod.register(g, opts)
-    scene, stats = sflatten.flatten(g.root)
+    anim_time = opts.get_float("time", None) if opts.has("time") else None
+    prev_time = (
+        opts.get_float("prevTime", None) if opts.has("prevTime") else None
+    )
+    scene, stats = sflatten.flatten(g.root, time=anim_time, prev_time=prev_time)
     lo = np.asarray(scene.geo.positions).min(axis=0)
     hi = np.asarray(scene.geo.positions).max(axis=0)
     t_flatten = time.time() - t0

@@ -4,9 +4,10 @@ TPU-native analog of the reference's ``sample_visibility`` G-buffer writes
 (src/Shaders/kernels/renderers/bdpt.hlsl:151-300): albedo, emission-included
 radiance split, VisibilityInfo (instance id + octahedral normal,
 scene.h:114-123), DepthInfo (z, dz — scene.h:124-128) and the prev-frame
-reprojected UV used by the temporal denoiser (motion transforms; static
-geometry means motion comes only from camera movement here — object motion
-transforms slot in once animated instances land).
+reprojected UV used by the temporal denoiser: camera motion via prev_view
+AND object motion via per-instance motion transforms evaluated by
+flatten(time=, prev_time=) from AnimationComponents (Scene.cpp:302-311,
+398-427).
 """
 
 from __future__ import annotations
@@ -67,8 +68,16 @@ def render_gbuffer(
     normal = jnp.where(miss[..., None], 0.0, sp.shading_normal)
     depth = jnp.where(miss, jnp.inf, hit.t)
     instance = jnp.where(miss, -1, sp.instance)
+    # object motion: map the hit to its PREVIOUS-frame world position via
+    # the per-instance motion transform (reference: motion transforms fed
+    # into the prev-UV reprojection, Scene.cpp:398-427 + bdpt.hlsl G-buffer
+    # writes); identity rows make this a no-op for static scenes
+    mot = scene.instance_motion[jnp.maximum(sp.instance, 0)]  # [N, 3, 4]
+    prev_pos = (
+        jnp.einsum("nij,nj->ni", mot[:, :, :3], sp.position) + mot[:, :, 3]
+    )
     pix, inside, _ = scamera.sensor_importance(
-        prev_view, sp.position, cfg.width, cfg.height
+        prev_view, prev_pos, cfg.width, cfg.height
     )
     prev_uv = jnp.where(
         (miss | ~inside)[..., None],

@@ -280,6 +280,28 @@ def mis_weight_arrays(z_fwd, z_rev, y_fwd, y_rev, tsurf: int, s: int):
     return 1.0 / (1.0 + sum_ri)
 
 
+def mis_weight_arrays_dynamic(z_fwd, z_rev, y_fwd, y_rev, tsurf: int, s_var,
+                              d_max: int):
+    """As :func:`mis_weight_arrays` but with a PER-LANE light-prefix length
+    ``s_var`` (traced int [N]) — needed by LVC connections where each lane
+    picked a light vertex at a different depth. The light-side recursion
+    walks slots d_max-1..0 with a mask activating at slot s_var-1, which
+    reproduces the static loop for every lane's own s."""
+    n = z_fwd.shape[0]
+    sum_ri = jnp.zeros((n,), jnp.float32)
+    ri = jnp.ones((n,), jnp.float32)
+    for j in range(tsurf - 1, -1, -1):
+        ri = ri * smath.safe_div(_remap0(z_rev[:, j]), _remap0(z_fwd[:, j]))
+        sum_ri = sum_ri + ri * ri
+    ri = jnp.ones((n,), jnp.float32)
+    for j in range(d_max - 1, -1, -1):
+        active = j <= s_var - 1
+        ratio = smath.safe_div(_remap0(y_rev[:, j]), _remap0(y_fwd[:, j]))
+        ri = jnp.where(active, ri * ratio, ri)
+        sum_ri = sum_ri + jnp.where(active, ri * ri, 0.0)
+    return 1.0 / (1.0 + sum_ri)
+
+
 # ---------------------------------------------------------------------------
 # full BDPT integrator
 # ---------------------------------------------------------------------------
@@ -303,6 +325,229 @@ def _cam_factor(view, position, width, height):
     a_plane = view.projection.sensor_area
     we = (width * height) / jnp.maximum(a_plane * cos_c ** 3, 1e-20)
     return smath.safe_div(we * cos_c, dist2)
+
+
+def _connect_paired(scene, cfg, z, radiance, depth,
+                    yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
+                    yc_mat, yc_uvs, yc_front, yc_valid,
+                    bsdf_eval, trace_occluded, zslot_mat):
+    """Deterministic all-pairs s>=2 x t>=2 connections (reference:
+    connect_light_subpath, path.hlsli:801-822): every camera vertex
+    connects to every vertex of ITS OWN paired light subpath."""
+    for j in range(depth):  # camera endpoint z_{j+1}
+        mat_z = zslot_mat(j)
+        wo_z_local = smath.to_local(z.wo[:, j], z.ns[:, j])
+        for k in range(1, depth + 1):  # light endpoint = combined slot k
+            s = k + 1
+            d_zy = yc_pos[:, k] - z.position[:, j]
+            dist = smath.length(d_zy)
+            wi = d_zy / jnp.maximum(dist, 1e-20)[:, None]
+            cos_z = jnp.abs(smath.dot(wi, z.ns[:, j]))
+            cos_y = jnp.abs(smath.dot(-wi, yc_ns[:, k]))
+            g = smath.safe_div(cos_z * cos_y, dist * dist)
+            ev_z = bsdf_eval(mat_z, wo_z_local, smath.to_local(wi, z.ns[:, j]))
+            mat_y = _mat_at(
+                scene, cfg, yc_mat[:, k], yc_uvs[:, k], yc_front[:, k]
+            )
+            wo_y_local = smath.to_local(yc_wo[:, k], yc_ns[:, k])
+            ev_y = bsdf_eval(
+                mat_y, wo_y_local, smath.to_local(-wi, yc_ns[:, k])
+            )
+            contrib = z.beta[:, j] * ev_z.f * ev_y.f * yc_beta[:, k] * g[:, None]
+            cand = (
+                z.valid[:, j] & yc_valid[:, k]
+                & (jnp.max(contrib, axis=-1) > 0)
+            )
+            occ = trace_occluded(
+                intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi, dist
+            )
+            # overrides — camera side
+            z_rev = z.pdf_rev.at[:, j].set(
+                _to_area(
+                    ev_y.pdf_fwd, yc_pos[:, k], z.position[:, j], z.ng[:, j]
+                )
+            )
+            if j >= 1:
+                z_rev = z_rev.at[:, j - 1].set(
+                    _to_area(
+                        ev_z.pdf_rev, z.position[:, j],
+                        z.position[:, j - 1], z.ng[:, j - 1],
+                    )
+                )
+            # overrides — light side
+            y_rev = yc_rev.at[:, k].set(
+                _to_area(
+                    ev_z.pdf_fwd, z.position[:, j], yc_pos[:, k], yc_ng[:, k]
+                )
+            )
+            y_rev = y_rev.at[:, k - 1].set(
+                _to_area(
+                    ev_y.pdf_rev, yc_pos[:, k],
+                    yc_pos[:, k - 1], yc_ng[:, k - 1],
+                )
+            )
+            w = mis_weight_arrays(
+                z.pdf_fwd, z_rev, yc_fwd[:, : k + 1], y_rev[:, : k + 1],
+                j + 1, s,
+            )
+            radiance = radiance + jnp.where(
+                (cand & ~occ)[:, None], contrib * w[:, None], 0.0
+            )
+    return radiance
+
+
+def _connect_lvc(scene, cfg, st, z, radiance, depth,
+                 yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
+                 yc_mat, yc_uvs, yc_front, yc_valid,
+                 bsdf_eval, trace_occluded, zslot_mat):
+    """Light-vertex-cache connections with reservoir resampling (reference:
+    connect_lvc, path.hlsli:682-822): every camera vertex draws
+    cfg.lvc_connections candidates uniformly from the POOLED cache of ALL
+    lanes' light vertices, streams them through a reservoir weighted by the
+    unshadowed contribution, and pays ONE shadow ray for the winner. The
+    winner's RIS weight total/(R * p_hat) times the per-lane dynamic MIS
+    weight keeps the estimator unbiased: cache cells are iid replicas of
+    the paired connections, selected with probability 1/(N*depth)."""
+    from stratum_tpu.core import reservoir as sres
+
+    n = z.position.shape[0]
+    d1 = depth + 1
+    f_pdf = 21
+    # one-gather cache rows: vertex fields + this lane's full pdf prefixes
+    # and the PREVIOUS vertex (for the k-1 MIS override)
+    prev_pos = jnp.concatenate(
+        [jnp.zeros((n, 1, 3), jnp.float32), yc_pos[:, :-1]], axis=1
+    )
+    prev_ng = jnp.concatenate(
+        [jnp.zeros((n, 1, 3), jnp.float32), yc_ng[:, :-1]], axis=1
+    )
+    cache = jnp.concatenate(
+        [
+            yc_pos, yc_ns, yc_ng, yc_wo, yc_beta,            # 0:15
+            yc_mat[..., None].astype(jnp.float32),           # 15
+            yc_uvs,                                          # 16:18
+            yc_front[..., None].astype(jnp.float32),         # 18
+            yc_valid[..., None].astype(jnp.float32),         # 19
+            jnp.broadcast_to(
+                jnp.arange(d1, dtype=jnp.float32)[None, :, None], (n, d1, 1)
+            ),                                               # 20 = slot k
+            jnp.broadcast_to(yc_fwd[:, None, :], (n, d1, d1)),
+            jnp.broadcast_to(yc_rev[:, None, :], (n, d1, d1)),
+            prev_pos, prev_ng,                               # +6
+        ],
+        axis=-1,
+    ).reshape(n * d1, f_pdf + 2 * d1 + 6)
+
+    n_cells = n * depth  # slots 1..depth participate (slot 0 is NEE's s=1)
+
+    for j in range(depth):
+        mat_z = zslot_mat(j)
+        z_j = z.position[:, j]
+        ns_j = z.ns[:, j]
+        ng_j = z.ng[:, j]
+        wo_z_local = smath.to_local(z.wo[:, j], ns_j)
+
+        payload0 = dict(
+            contrib=jnp.zeros((n, 3), jnp.float32),
+            wi=jnp.zeros((n, 3), jnp.float32),
+            dist=jnp.zeros((n,), jnp.float32),
+            pdf4=jnp.zeros((n, 4), jnp.float32),
+            row=jnp.zeros((n, cache.shape[1]), jnp.float32),
+        )
+        res = sres.init_reservoir(payload0, n)
+        for _r in range(cfg.lvc_connections):
+            u, st = srng.next_floats(st, 2)
+            cell = jnp.minimum(
+                (u[..., 0] * n_cells).astype(jnp.int32), n_cells - 1
+            )
+            lane = cell // depth
+            slot = cell - lane * depth + 1  # 1..depth
+            row = cache[lane * d1 + slot]
+            pos_y = row[:, 0:3]
+            ns_y = row[:, 3:6]
+            wo_y = row[:, 9:12]
+            beta_y = row[:, 12:15]
+            mat_row_y = row[:, 15].astype(jnp.int32)
+            uv_y = row[:, 16:18]
+            front_y = row[:, 18] > 0.5
+            valid_y = row[:, 19] > 0.5
+            d_zy = pos_y - z_j
+            dist = smath.length(d_zy)
+            wi = d_zy / jnp.maximum(dist, 1e-20)[:, None]
+            cos_z = jnp.abs(smath.dot(wi, ns_j))
+            cos_y = jnp.abs(smath.dot(-wi, ns_y))
+            g = smath.safe_div(cos_z * cos_y, dist * dist)
+            ev_z = bsdf_eval(mat_z, wo_z_local, smath.to_local(wi, ns_j))
+            mat_y = _mat_at(scene, cfg, mat_row_y, uv_y, front_y)
+            ev_y = bsdf_eval(
+                mat_y, smath.to_local(wo_y, ns_y), smath.to_local(-wi, ns_y)
+            )
+            contrib = z.beta[:, j] * ev_z.f * ev_y.f * beta_y * g[:, None]
+            contrib = jnp.where(
+                (valid_y & z.valid[:, j])[:, None], contrib, 0.0
+            )
+            p_hat = smath.luminance(contrib)
+            cand = dict(
+                contrib=contrib, wi=wi, dist=dist,
+                pdf4=jnp.stack(
+                    [ev_y.pdf_fwd, ev_z.pdf_rev, ev_z.pdf_fwd, ev_y.pdf_rev],
+                    axis=-1,
+                ),
+                row=row,
+            )
+            # RIS weight p_hat / p_select. Each lane owes the SUM over its
+            # own depth strategies; lanes are iid replicas, so drawing from
+            # the pooled n*depth cells has per-lane selection mass
+            # p_select = 1/depth (the lane dimension averages out).
+            res = sres.update(res, cand, p_hat, p_hat * depth, u[..., 1])
+
+        kept = res.sample
+        row = kept["row"]
+        wi = kept["wi"]
+        dist = kept["dist"]
+        pos_y = row[:, 0:3]
+        ng_y = row[:, 6:9]
+        k_w = row[:, 20].astype(jnp.int32)
+        y_fwd_row = row[:, f_pdf : f_pdf + d1]
+        y_rev_row = row[:, f_pdf + d1 : f_pdf + 2 * d1]
+        ppos = row[:, f_pdf + 2 * d1 : f_pdf + 2 * d1 + 3]
+        png_ = row[:, f_pdf + 2 * d1 + 3 : f_pdf + 2 * d1 + 6]
+        evy_fwd, evz_rev, evz_fwd, evy_rev = (
+            kept["pdf4"][:, 0], kept["pdf4"][:, 1],
+            kept["pdf4"][:, 2], kept["pdf4"][:, 3],
+        )
+        # overrides — camera side (same as the paired connection)
+        z_rev = z.pdf_rev.at[:, j].set(
+            _to_area(evy_fwd, pos_y, z_j, ng_j)
+        )
+        if j >= 1:
+            z_rev = z_rev.at[:, j - 1].set(
+                _to_area(
+                    evz_rev, z_j, z.position[:, j - 1], z.ng[:, j - 1]
+                )
+            )
+        # overrides — light side at the winner's (variable) slots k, k-1
+        iota = jnp.arange(d1, dtype=jnp.int32)[None, :]
+        ov_k = _to_area(evz_fwd, z_j, pos_y, ng_y)
+        ov_km1 = _to_area(evy_rev, pos_y, ppos, png_)
+        y_rev = jnp.where(iota == k_w[:, None], ov_k[:, None], y_rev_row)
+        y_rev = jnp.where(
+            iota == (k_w - 1)[:, None], ov_km1[:, None], y_rev
+        )
+        w_mis = mis_weight_arrays_dynamic(
+            z.pdf_fwd, z_rev, y_fwd_row, y_rev, j + 1, k_w + 1, d1
+        )
+        w_ris = smath.safe_div(
+            res.total_weight, res.m * jnp.maximum(res.target_pdf, 1e-20)
+        )
+        occ = trace_occluded(intersect.ray_offset(z_j, ng_j), wi, dist)
+        ok = (res.target_pdf > 0) & ~occ
+        radiance = radiance + jnp.where(
+            ok[:, None],
+            kept["contrib"] * (w_ris * w_mis)[:, None],
+            0.0,
+        )
+    return radiance, st
 
 
 def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
@@ -509,66 +754,22 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         )
 
     # ---- strategies s>=2, t>=2: subpath connections ------------------------
-    for j in range(depth):  # camera endpoint z_{j+1}
-        mat_z = zslot_mat(j)
-        wo_z_local = smath.to_local(z.wo[:, j], z.ns[:, j])
-        for k in range(1, depth + 1):  # light endpoint = combined slot k
-            s = k + 1
-            d_zy = yc_pos[:, k] - z.position[:, j]
-            dist = smath.length(d_zy)
-            wi = d_zy / jnp.maximum(dist, 1e-20)[:, None]
-            cos_z = jnp.abs(smath.dot(wi, z.ns[:, j]))
-            cos_y = jnp.abs(smath.dot(-wi, yc_ns[:, k]))
-            g = smath.safe_div(cos_z * cos_y, dist * dist)
-            ev_z = bsdf_eval(mat_z, wo_z_local, smath.to_local(wi, z.ns[:, j]))
-            mat_y = _mat_at(
-                scene, cfg, yc_mat[:, k], yc_uvs[:, k], yc_front[:, k]
-            )
-            wo_y_local = smath.to_local(yc_wo[:, k], yc_ns[:, k])
-            ev_y = bsdf_eval(
-                mat_y, wo_y_local, smath.to_local(-wi, yc_ns[:, k])
-            )
-            contrib = z.beta[:, j] * ev_z.f * ev_y.f * yc_beta[:, k] * g[:, None]
-            cand = (
-                z.valid[:, j] & yc_valid[:, k]
-                & (jnp.max(contrib, axis=-1) > 0)
-            )
-            occ = trace_occluded(
-                intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi, dist
-            )
-            # overrides — camera side
-            z_rev = z.pdf_rev.at[:, j].set(
-                _to_area(
-                    ev_y.pdf_fwd, yc_pos[:, k], z.position[:, j], z.ng[:, j]
-                )
-            )
-            if j >= 1:
-                z_rev = z_rev.at[:, j - 1].set(
-                    _to_area(
-                        ev_z.pdf_rev, z.position[:, j],
-                        z.position[:, j - 1], z.ng[:, j - 1],
-                    )
-                )
-            # overrides — light side
-            y_rev = yc_rev.at[:, k].set(
-                _to_area(
-                    ev_z.pdf_fwd, z.position[:, j], yc_pos[:, k], yc_ng[:, k]
-                )
-            )
-            y_rev = y_rev.at[:, k - 1].set(
-                _to_area(
-                    ev_y.pdf_rev, yc_pos[:, k],
-                    yc_pos[:, k - 1], yc_ng[:, k - 1],
-                )
-            )
-            w = mis_weight_arrays(
-                z.pdf_fwd, z_rev, yc_fwd[:, : k + 1], y_rev[:, : k + 1],
-                j + 1, s,
-            )
-            radiance = radiance + jnp.where(
-                (cand & ~occ)[:, None], contrib * w[:, None], 0.0
-            )
+    if cfg.lvc_connections > 0:
+        radiance, st = _connect_lvc(
+            scene, cfg, st, z, radiance, depth,
+            yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
+            yc_mat, yc_uvs, yc_front, yc_valid,
+            bsdf_eval, trace_occluded, zslot_mat,
+        )
+    else:
+        radiance = _connect_paired(
+            scene, cfg, z, radiance, depth,
+            yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
+            yc_mat, yc_uvs, yc_front, yc_valid,
+            bsdf_eval, trace_occluded, zslot_mat,
+        )
 
+    # ---- strategy t=1: splat every light vertex to the camera --------------
     # ---- strategy t=1: splat every light vertex to the camera --------------
     for k in range(depth + 1):  # combined slot k, s = k+1
         to_cam = cam_pos - yc_pos[:, k]

@@ -86,6 +86,12 @@ class RenderConfig:
                                # ePathLengthContribution debug mode,
                                # bdpt.h:177-193; the per-length views sum
                                # to the full image)
+    lvc_connections: int = 0  # BDPT only. >0: replace the deterministic
+                              # all-pairs subpath connections with this many
+                              # reservoir-resampled candidates drawn from
+                              # the POOLED light-vertex cache (reference:
+                              # connect_lvc, path.hlsli:682-822 +
+                              # eLVC/eLVCReservoirs flags)
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -319,6 +325,13 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     bsdf_eval, bsdf_sample = _bsdf_fns(cfg)
     geo = scene.geo
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
+    # deferring shadow rays pays off by amortizing the BVH tracers'
+    # candidate prep across bounces; the dense MXU/brute paths have no prep
+    # and only gain scatter traffic (measured: Cornell 4.5 -> 3.1 Mrays/s)
+    defer_shadows = cfg.defer_shadows and resolved_tracer(scene, cfg) in (
+        "pallas", "packet",
+    )
+    cfg = dataclasses.replace(cfg, defer_shadows=defer_shadows)
     # participating media are present iff the density brick is non-trivial
     # (static shape check: empty_media uses a 1^3 brick)
     has_media = scene.media.density.shape[1] > 1

@@ -120,12 +120,35 @@ def compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.nda
     )
 
 
-def flatten(root: Node, env_probability: float = 0.5):
+def flatten(root: Node, env_probability: float = 0.5,
+            time: float | None = None, prev_time: float | None = None):
     """Walk the subtree under ``root`` and build the device SceneData.
+
+    ``time`` evaluates AnimationComponents (reference: the per-frame
+    animation tick, Scene.cpp:302-311); ``prev_time`` additionally records
+    per-instance MOTION transforms (current world -> previous world,
+    Scene.cpp:398-427) that feed the temporal G-buffer's prev_uv.
 
     Returns (SceneData, FlattenStats).
     """
     stats = FlattenStats()
+    instance_motion: list = []
+
+    def motion_for(node) -> np.ndarray:
+        """prev_M o inv(M): maps this instance's current world positions to
+        their previous-frame world positions."""
+        if prev_time is None:
+            return np.eye(3, 4, dtype=np.float32)
+        m = node.to_world(time)
+        pm = node.to_world(prev_time)
+        inv3 = np.linalg.inv(m[:, :3])
+        inv = np.empty((3, 4), np.float32)
+        inv[:, :3] = inv3
+        inv[:, 3] = -inv3 @ m[:, 3]
+        out = np.empty((3, 4), np.float32)
+        out[:, :3] = pm[:, :3] @ inv[:, :3]
+        out[:, 3] = pm[:, :3] @ inv[:, 3] + pm[:, 3]
+        return out
     all_pos, all_nrm, all_uv, all_idx = [], [], [], []
     all_tri_mat, all_tri_inst = [], []
     materials: list[Material] = []
@@ -143,7 +166,8 @@ def flatten(root: Node, env_probability: float = 0.5):
 
     def add_mesh(node: Node, positions, indices, normals, uvs, material):
         nonlocal vert_base
-        m = node.to_world()
+        m = node.to_world(time)
+        instance_motion.append(motion_for(node))
         if normals is None:
             normals = compute_smooth_normals(positions, indices)
         if uvs is None:
@@ -174,7 +198,8 @@ def flatten(root: Node, env_probability: float = 0.5):
                 # first-class analytic sphere: exact quadratic hits in the
                 # tracers (reference: procedural sphere instances,
                 # intersection.hlsli:105-117)
-                m = node.to_world()
+                m = node.to_world(time)
+                instance_motion.append(motion_for(node))
                 center = m[:, :3] @ np.zeros(3, np.float32) + m[:, 3]
                 # uniform scale assumed (the reference's sphere instances
                 # carry a radius, not a general transform)
@@ -199,7 +224,7 @@ def flatten(root: Node, env_probability: float = 0.5):
             env_component = ec
         mc = node.find(MediumComponent)
         if mc is not None:
-            m = node.to_world()
+            m = node.to_world(time)
             lo = m[:, :3] @ np.asarray(mc.box_lo, np.float32) + m[:, 3]
             hi = m[:, :3] @ np.asarray(mc.box_hi, np.float32) + m[:, 3]
             media_list.append(
@@ -223,6 +248,7 @@ def flatten(root: Node, env_probability: float = 0.5):
         all_idx.append(np.zeros((1, 3), np.int32))
         all_tri_mat.append(np.full((1,), -1, np.int32))
         all_tri_inst.append(np.zeros((1,), np.int32))
+        instance_motion.append(np.eye(3, 4, dtype=np.float32))
 
     positions = np.concatenate(all_pos)
     normals = np.concatenate(all_nrm)
@@ -388,6 +414,11 @@ def flatten(root: Node, env_probability: float = 0.5):
         leaf_feat_packed=leaf_feat_packed,
         media=media,
         spheres=spheres,
+        instance_motion=jnp.asarray(
+            np.stack(instance_motion)
+            if instance_motion
+            else np.eye(3, 4, dtype=np.float32)[None]
+        ),
     )
 
     stats.num_triangles = int(indices.shape[0])

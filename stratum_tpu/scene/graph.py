@@ -120,15 +120,21 @@ class Node:
                 yield n, c
 
     # -- transforms --------------------------------------------------------
-    def to_world(self) -> np.ndarray:
+    def to_world(self, time: float | None = None) -> np.ndarray:
         """Accumulated ancestor transform, host-side 3x4 float32
-        (reference: Scene::node_to_world, Node/Scene.cpp:108-117)."""
+        (reference: Scene::node_to_world, Node/Scene.cpp:108-117). With
+        ``time`` given, AnimationComponents on the chain evaluate at that
+        time and override the static TransformComponent."""
         m = np.eye(3, 4, dtype=np.float32)
         n: Optional[Node] = self
         while n is not None:
-            tc = n.components.get(TransformComponent)
-            if tc is not None:
-                m = _compose_np(tc.matrix, m)
+            ac = n.components.get(AnimationComponent) if time is not None else None
+            if ac is not None:
+                m = _compose_np(ac.evaluate(time), m)
+            else:
+                tc = n.components.get(TransformComponent)
+                if tc is not None:
+                    m = _compose_np(tc.matrix, m)
             n = n.parent
         return m
 
@@ -164,6 +170,30 @@ class TransformComponent:
         default_factory=lambda: np.eye(3, 4, dtype=np.float32)
     )
     node: Optional[Node] = None
+
+
+@dataclasses.dataclass
+class AnimationComponent:
+    """Keyframed local transform (reference: the animation tick that
+    updates gAnimatedTransform each frame, Node/Scene.cpp:302-311).
+    Linear interpolation between 3x4 keyframe matrices; flatten(time=t)
+    evaluates it and also derives per-instance MOTION transforms for the
+    temporal G-buffer (Scene.cpp:398-427 motion transforms)."""
+
+    times: np.ndarray = None  # [K] seconds, ascending
+    matrices: np.ndarray = None  # [K, 3, 4]
+    node: Optional[Node] = None
+
+    def evaluate(self, t: float) -> np.ndarray:
+        times = np.asarray(self.times, np.float32)
+        mats = np.asarray(self.matrices, np.float32)
+        if t <= times[0]:
+            return mats[0]
+        if t >= times[-1]:
+            return mats[-1]
+        i = int(np.searchsorted(times, t) - 1)
+        a = (t - times[i]) / max(times[i + 1] - times[i], 1e-9)
+        return ((1.0 - a) * mats[i] + a * mats[i + 1]).astype(np.float32)
 
 
 @dataclasses.dataclass

@@ -180,6 +180,11 @@ class SceneData(NamedTuple):
     leaf_feat_packed: jnp.ndarray  # f32 [L,16,4K] Pallas DMA slabs
     media: "MediumData"  # render/medium.py volume stack (gVolumeCount analog)
     spheres: SphereSoA  # analytic sphere primitives (ops/spheres.py)
+    # per-instance motion transform: current world -> PREVIOUS world (for
+    # motion vectors / temporal reprojection; reference: motion transforms,
+    # Scene.cpp:398-427 + scene.h InstanceData motion). Identity when the
+    # scene was flattened without a prev_time.
+    instance_motion: jnp.ndarray  # f32 [I, 3, 4]
 
 
 # ---------------------------------------------------------------------------

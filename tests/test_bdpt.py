@@ -137,3 +137,26 @@ def test_bdpt_rr_unbiased(cornell_empty):
     assert with_rr.mean() == pytest.approx(without.mean(), rel=0.06), (
         with_rr.mean(), without.mean()
     )
+
+
+def test_lvc_matches_paired(cornell_empty):
+    """LVC reservoir connections (reference: connect_lvc,
+    path.hlsli:682-822) estimate the same image as the deterministic
+    paired connections: cache cells are iid replicas, RIS + dynamic MIS
+    keep the mean."""
+    scene, view = cornell_empty
+    cfg_pair = integrator.RenderConfig(
+        width=32, height=32, max_bounces=2, rr_depth=100
+    )
+    cfg_lvc = integrator.RenderConfig(
+        width=32, height=32, max_bounces=2, rr_depth=100, lvc_connections=4
+    )
+    spp = 24
+    paired = np.asarray(
+        bdpt.render_bdpt_progressive(scene, view, cfg_pair, spp)
+    )
+    lvc = np.asarray(bdpt.render_bdpt_progressive(scene, view, cfg_lvc, spp))
+    assert np.isfinite(lvc).all()
+    assert lvc.mean() == pytest.approx(paired.mean(), rel=0.06), (
+        lvc.mean(), paired.mean()
+    )

@@ -172,3 +172,45 @@ def test_vol_grid_roundtrip(tmp_path, rng_np):
     mc = n.find(MediumComponent)
     np.testing.assert_allclose(mc.density, d * 2.0)
     assert mc.g == 0.3
+
+
+def test_stl_binary_and_ascii_roundtrip(tmp_path):
+    """STL loader (assimp-path parity for the formats that matter,
+    load_assimp.cpp): binary and ASCII parse to the same mesh."""
+    import struct
+
+    import numpy as np
+
+    from stratum_tpu.scene.loaders.stl import load_stl_mesh
+
+    tris = np.asarray(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[1, 0, 0], [1, 1, 0], [0, 1, 0]],
+        ],
+        np.float32,
+    )
+    normals = np.asarray([[0, 0, 1], [0, 0, 1]], np.float32)
+    # binary
+    buf = b"\x00" * 80 + struct.pack("<I", 2)
+    for n, t in zip(normals, tris):
+        buf += n.tobytes() + t.tobytes() + b"\x00\x00"
+    b = tmp_path / "m.stl"
+    b.write_bytes(buf)
+    pb, nb, _, ib = load_stl_mesh(b)
+    assert ib.shape == (2, 3) and pb.shape[0] == 4
+    # ascii
+    lines = ["solid m"]
+    for n, t in zip(normals, tris):
+        lines.append(f"facet normal {n[0]} {n[1]} {n[2]}")
+        lines.append("outer loop")
+        for v in t:
+            lines.append(f"vertex {v[0]} {v[1]} {v[2]}")
+        lines.append("endloop")
+        lines.append("endfacet")
+    lines.append("endsolid m")
+    a = tmp_path / "a.stl"
+    a.write_text("\n".join(lines))
+    pa, na, _, ia = load_stl_mesh(a)
+    np.testing.assert_allclose(np.sort(pa, axis=0), np.sort(pb, axis=0))
+    assert ia.shape == ib.shape
