@@ -33,6 +33,7 @@ def test_bdpt_matches_pt(cornell_empty):
         )
 
 
+@pytest.mark.slow
 def test_bdpt_lower_variance_indirect(cornell_empty):
     """BDPT's extra strategies must not blow up variance; on the mostly
     diffuse box its per-pixel variance at equal spp should be comparable or

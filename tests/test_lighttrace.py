@@ -60,6 +60,7 @@ def test_lt_deterministic(cornell_small):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_lt_matches_pt_on_smooth_normals():
     """LT == PT on a scene with interpolated (shading != geometric) normals:
     requires the shading-normal adjoint factor on the light walk and the

@@ -108,6 +108,7 @@ def test_hg_sampled_density_matches_pdf(rng_np):
         assert np.allclose(pdf, ph, rtol=2e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_medium_nee_vs_bsdf_only():
     """Estimator consistency in fog: NEE-on and NEE-off renders of the foggy
     Cornell must converge to the same mean (the medium vertex now gets a

@@ -6,6 +6,7 @@ XLA compiling different tile shapes (observed <=5e-7 absolute)."""
 
 import jax
 import numpy as np
+import pytest
 
 from stratum_tpu.parallel import mesh as pmesh
 from stratum_tpu.render import camera, integrator
@@ -68,6 +69,7 @@ def test_sharded_lt_matches_unsharded():
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_bdpt_matches_unsharded():
     """BDPT sharded (pixels + light paths; t=1 splats psum'd) equals the
     single-device run."""
