@@ -213,16 +213,17 @@ def trace_emission_only(scene: SceneData, view, cfg: RenderConfig, seed):
     return rad.reshape(cfg.height, cfg.width, 3)
 
 
-def render_lt(scene: SceneData, view, cfg: RenderConfig, seed):
-    """Complete light-traced image: splats + directly-visible emission."""
-    from functools import partial
+from functools import partial
 
-    f = jax.jit(
-        lambda scene, view, seed: trace_light(scene, view, cfg, seed)
-        + trace_emission_only(scene, view, cfg, seed),
-        static_argnums=(),
+
+@partial(jax.jit, static_argnums=(2,))
+def render_lt(scene: SceneData, view, cfg: RenderConfig, seed):
+    """Complete light-traced image: splats + directly-visible emission.
+    cfg is a static jit key (NOT wrapped per call: a per-call ``jax.jit``
+    closure would recompile every sample)."""
+    return trace_light(scene, view, cfg, seed) + trace_emission_only(
+        scene, view, cfg, seed
     )
-    return f(scene, view, seed)
 
 
 def render_lt_progressive(scene, view, cfg, spp: int, seed0=0):
