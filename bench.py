@@ -48,6 +48,9 @@ def main() -> int:
 
     if opts.has("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    from stratum_tpu.utils import jaxcache
+
+    jaxcache.enable()
 
     import jax.numpy as jnp
 

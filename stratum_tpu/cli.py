@@ -111,6 +111,9 @@ def main(argv=None) -> int:
 
     if opts.has("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    from stratum_tpu.utils import jaxcache
+
+    jaxcache.enable(opts.get_str("compileCache", "") or None)
     from stratum_tpu.scene import flatten as sflatten
     from stratum_tpu.render import camera as scamera
     from stratum_tpu.render import integrator as sintegrator

@@ -24,6 +24,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# the env vars above are NOT honored by this jax build — the explicit
+# config updates in jaxcache.enable() are what actually turn the cache on
+from stratum_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

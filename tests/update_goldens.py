@@ -14,6 +14,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from stratum_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
 import numpy as np  # noqa: E402
 
 GOLDEN = Path(__file__).parent / "golden"
