@@ -43,6 +43,22 @@ from stratum_tpu.ops.intersect import HitRecord, T_MAX
 BLOCK = 512  # rays per block (8x64 screen tile)
 FEAT_ROWS = 16  # 10 Plucker rows zero-padded to the f32 sublane tile
 
+# Moller-Trumbore matmul mode. Mosaic lowers ANY explicit lax.Precision
+# enum on an f32 matmul to the slow full-f32 multi-pass path (HIGHEST, HIGH
+# and DEFAULT all measured ~identical), while precision=None lowers to a
+# single bf16 pass with f32 accumulation — ~4x faster per secondary wave.
+#   "fast" : 1-pass bf16 inputs (t recomputed in f32 for the winner)
+#   "x3"   : manual bf16 hi/lo split, 3 passes — ~2^-21 relative, the
+#            classic f32-emulation middle ground
+#   "f32"  : explicit HIGHEST (6-pass) — the exact reference path
+MT_MODE = "x3"
+# Select the per-ray argmin by packing the candidate index into the low bits
+# of the t float's bit pattern and taking ONE int min-reduction (positive
+# floats order as ints), instead of argmin + one-hot + sum. Perturbs t by
+# <= 2^-13 relative (low bits cleared) — below the tracer's 1e-4 epsilon.
+PACKED_ARGMIN = True
+_IDX_BITS = 10  # supports leaf_size up to 1024
+
 
 def pack_leaf_features(fat) -> jnp.ndarray:
     """FatBVH -> [L, 16, 4K] f32 DMA slabs: rows 0-9 = the Plucker feature
@@ -104,14 +120,31 @@ def _pretest(geom, aabb_s, slot, row, best_row):
     return jnp.any((tn <= tf) & (tn < best_row))
 
 
-def _mt_quants(rays, slab, k):
-    """One [16,4K]^T x [16,B] MXU matmul -> sign-normalized MT quantities
-    [K, B] (no predicated reciprocal for the validity mask; the division
-    survives only for the ordering value)."""
-    out = jax.lax.dot_general(
-        slab, rays, (((0,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-    )  # [4K, B]
+def _mt_quants(rays, slab, k, mode="x3"):
+    """One [16,4K]^T x [16,B] MXU contraction -> sign-normalized MT
+    quantities [K, B] (no predicated reciprocal for the validity mask; the
+    division survives only for the ordering value). See MT_MODE."""
+    dims = (((0,), (0,)), ((), ()))
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+
+    if mode == "auto":
+        out = dot(slab, rays)  # f32 inputs, Mosaic picks the fast path
+    elif mode == "fast":
+        out = dot(slab.astype(jnp.bfloat16), rays.astype(jnp.bfloat16))
+    elif mode == "x3":
+        s_hi = slab.astype(jnp.bfloat16)
+        s_lo = (slab - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        r_hi = rays.astype(jnp.bfloat16)
+        r_lo = (rays - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = dot(s_hi, r_hi) + (dot(s_hi, r_lo) + dot(s_lo, r_hi))
+    else:  # "f32"
+        out = jax.lax.dot_general(
+            slab, rays, dims, precision=lax.Precision.HIGHEST
+        )  # [4K, B]
     a = out[0 * k : 1 * k, :]
     u_num = out[1 * k : 2 * k, :]
     v_num = out[2 * k : 3 * k, :]
@@ -133,12 +166,19 @@ def _mt_quants(rays, slab, k):
 
 def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
             feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
-            aabb_s, asem, best_ref, slot_ref):
+            aabb_s, asem, best_ref, slot_ref, mode="x3",
+            packed_argmin=PACKED_ARGMIN):
     b = pl.program_id(0)
     _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
     rays = rays_ref[0]  # [16, B]
     t_max = rays[10:11, :]  # [1, B]
+    # matmul operand: zero the non-feature rows — row 10 carries t_max
+    # (3.4e38), which overflows to inf under the bf16 matmul modes and
+    # poisons the products with 0 * inf = NaN
+    rays_mm = jnp.where(
+        lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
+    )
     geom = geom_ref[0]  # [8, B]
     B = rays.shape[1]
     k4 = buf.shape[2]
@@ -169,11 +209,11 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         adma(0, 0).start()
 
     def cond(state):
-        c, max_best = state
+        c, max_best, _nex = state
         return (c < n_cand) & (centry_at(c) < max_best)
 
     def body(state):
-        c, _ = state
+        c, _, nex = state
         slot = lax.rem(c, 2)
         nxt = c + 1
 
@@ -190,30 +230,53 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         @pl.when(want)
         def _():
             best_row = best_ref[...]  # [1, B]
-            abs_a, stn, base_valid = _mt_quants(rays, buf[slot], k)
+            abs_a, stn, base_valid = _mt_quants(rays_mm, buf[slot], k, mode)
             valid = base_valid & (stn < best_row * abs_a)
-            tt = jnp.where(
-                valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
-            )
-            # Mosaic has no general gather: select the per-ray argmin via a
-            # one-hot reduction. Barycentrics of the winner are recomputed
+            # Mosaic has no general gather: select the per-ray winner
+            # without one. Barycentrics of the winner are recomputed
             # OUTSIDE the kernel from its feature row (one XLA gather) —
             # keeping u/v here costs two more [K,B] reductions per visit.
-            kbest = jnp.argmin(tt, axis=0)  # [B]
-            onehot = (
-                lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-                == kbest[None, :]
-            ).astype(tt.dtype)
-            tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, B]
-            closer = tk < best_row
-            slot_id = (leaf * k + kbest).astype(jnp.float32)[None, :]
+            if packed_argmin:
+                # positive floats order as ints: clear the low bits of t's
+                # bit pattern, pack the candidate index there, ONE min.
+                # Use +inf for misses: clearing T_MAX's low bits would make
+                # a no-hit visit compare strictly below best == T_MAX and
+                # commit a bogus hit (inf's low mantissa bits are already 0)
+                tt = jnp.where(
+                    valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), jnp.inf
+                )
+                mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+                bits = jax.lax.bitcast_convert_type(tt, jnp.int32)
+                iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                packed = jnp.min(
+                    (bits & mask) | iota_k, axis=0, keepdims=True
+                )  # [1, B]
+                tk = jax.lax.bitcast_convert_type(
+                    packed & mask, jnp.float32
+                )
+                kbest = (packed & ~mask).astype(jnp.float32)
+                closer = tk < best_row
+                slot_id = jnp.float32(leaf * k) + kbest
+            else:
+                tt = jnp.where(
+                    valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
+                )
+                kbest = jnp.argmin(tt, axis=0)  # [B]
+                onehot = (
+                    lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                    == kbest[None, :]
+                ).astype(tt.dtype)
+                tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, B]
+                closer = tk < best_row
+                slot_id = (leaf * k + kbest).astype(jnp.float32)[None, :]
             best_ref[...] = jnp.where(closer, tk, best_row)
             slot_ref[...] = jnp.where(closer, slot_id, slot_ref[...])
 
-        return nxt, jnp.max(best_ref[...])
+        return nxt, jnp.max(best_ref[...]), nex + want.astype(jnp.int32)
 
-    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max))
-    c_final, _ = lax.while_loop(cond, body, state)
+    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max),
+             jnp.asarray(0, jnp.int32))
+    c_final, _, n_exec = lax.while_loop(cond, body, state)
 
     # drain: an early exit leaves the prefetched next-leaf DMAs in flight;
     # their semaphores must be consumed or they corrupt later grid steps
@@ -222,15 +285,22 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         dma(lax.rem(c_final, 2), c_final).wait()
         adma(lax.rem(c_final, 2), c_final).wait()
 
+    # rows 2/3: diagnostics — candidate iterations executed and matmul
+    # visits actually run (tools/profile_visits.py)
     out_ref[0] = jnp.concatenate(
-        [best_ref[...], slot_ref[...], jnp.zeros((2, B), jnp.float32)],
+        [
+            best_ref[...],
+            slot_ref[...],
+            jnp.full((1, B), c_final.astype(jnp.float32)),
+            jnp.full((1, B), n_exec.astype(jnp.float32)),
+        ],
         axis=0,
     )
 
 
 def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
                 aabb_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
-                csem, aabb_s, asem, best_ref, slot_ref):
+                csem, aabb_s, asem, best_ref, slot_ref, mode="x3"):
     """Any-hit variant: a committed hit zeroes the ray's t bound, so the
     front-to-back loop exits as soon as every ray is blocked (or no
     candidate leaf starts inside a surviving segment) — the reference's
@@ -242,6 +312,9 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     n_cand = ncand_sp[b]
     rays = rays_ref[0]  # [16, B]
     t_max = rays[10:11, :]  # [1, B] (0 for dead lanes)
+    rays_mm = jnp.where(
+        lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
+    )
     geom = geom_ref[0]  # [8, B]
     B = rays.shape[1]
     k4 = buf.shape[2]
@@ -292,7 +365,7 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         @pl.when(want)
         def _():
             bound = best_ref[...]  # [1, B]
-            abs_a, stn, base_valid = _mt_quants(rays, buf[slot], k)
+            abs_a, stn, base_valid = _mt_quants(rays_mm, buf[slot], k, mode)
             valid = base_valid & (stn < bound * abs_a)
             blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, B]
             best_ref[...] = jnp.where(blocked, 0.0, bound)
@@ -325,15 +398,23 @@ def _pack8(arr, fill):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block", "kernel_name")
+    jax.jit,
+    static_argnames=(
+        "interpret", "block", "kernel_name", "mode", "packed_argmin",
+    ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
-                interpret=False, block=BLOCK, kernel_name="closest"):
+                interpret=False, block=BLOCK, kernel_name="closest",
+                mode="x3", packed_argmin=PACKED_ARGMIN):
     nb, c_max = cand.shape
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
-    kernel = _kernel if kernel_name == "closest" else _kernel_occ
+    kernel = (
+        functools.partial(_kernel, mode=mode, packed_argmin=packed_argmin)
+        if kernel_name == "closest"
+        else functools.partial(_kernel_occ, mode=mode)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -440,6 +521,7 @@ def pallas_closest(
     out = _run_blocks(
         rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
         leaf_feat_packed, interpret=interpret, block=block,
+        mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -478,6 +560,6 @@ def pallas_occluded(
     out = _run_blocks(
         rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
         leaf_feat_packed, interpret=interpret, block=block,
-        kernel_name="occluded",
+        kernel_name="occluded", mode=MT_MODE,
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

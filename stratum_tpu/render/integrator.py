@@ -195,6 +195,22 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
             ),
             lambda o, d, t: sbvh.traverse_occluded(scene.bvh, o, d, t),
         )
+    if tracer == "null":
+        # profiling fixture: synthetic hits with zero traversal cost, so
+        # (end-to-end - null-tracer) isolates the shading/NEE overhead
+        # (tools/profile_e2e.py). Varies tri per lane to defeat constant
+        # folding of the shading gathers.
+        num_tris = geo.num_triangles
+
+        def null_closest(o, d, tm=None):
+            lanes = jnp.arange(o.shape[0], dtype=jnp.int32)
+            return intersect.HitRecord(
+                t=jnp.full(o.shape[:1], 1.0, jnp.float32),
+                tri=lanes % max(num_tris, 1),
+                bary=jnp.full((o.shape[0], 2), 0.3, jnp.float32),
+            )
+
+        return null_closest, lambda o, d, t: jnp.zeros(o.shape[:1], bool)
     if tracer == "brute":
         return (
             lambda o, d, tm=None: intersect.intersect_brute_force(
@@ -854,7 +870,16 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         hit_contrib = jnp.where(
             (~occ & (t_f > 0))[..., None], c_f, 0.0
         )
-        radiance_out = radiance_out.at[p_f].add(hit_contrib)
+        if cfg.sort_rays:
+            radiance_out = radiance_out.at[p_f].add(hit_contrib)
+        else:
+            # lanes stay pixel-ordered without the re-sort: the scatter-add
+            # is just a sum over the bounce axis (XLA can't see that p_f is
+            # the identity tiling, and the sorted-scatter lowering costs
+            # ~100ms+ at 10M rows)
+            radiance_out = radiance_out + hit_contrib.reshape(
+                d_, n, 3
+            ).sum(axis=0)
     return radiance_out, carry[8]
 
 

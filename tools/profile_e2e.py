@@ -14,6 +14,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stratum_jax_cache")
 
+from stratum_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
 
 def timed(fn, *args, reps=3, **kw):
     import jax

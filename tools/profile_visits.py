@@ -1,15 +1,16 @@
-"""Sweep fat-BVH leaf size K and ray-block size B for the Pallas tracer on
-coherent (primary) and incoherent (secondary) waves. Drives the perf work on
-the secondary-bounce bottleneck (STATUS.md perf next steps #1).
+"""Per-block visit statistics for the Pallas closest kernel: how many
+candidate iterations run and how many survive the per-ray AABB pretest
+(matmul visits), for a coherent primary wave vs a sorted secondary wave.
+Decides whether the kernel is bound by per-iteration overhead or by the
+[K,B] visit work.
 
-Usage: python tools/sweep_tracer.py [--width=1920] [--height=1080]
+Usage: python tools/profile_visits.py
 """
 
 from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stratum_jax_cache")
@@ -19,24 +20,8 @@ from stratum_tpu.utils import jaxcache  # noqa: E402
 jaxcache.enable()
 
 
-def timed(fn, *args, reps=3):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
-
-
 def main():
-    from stratum_tpu.utils.flags import Options
-
-    opts = Options(sys.argv[1:])
-    width = opts.get_int("width", 1920)
-    height = opts.get_int("height", 1080)
+    width, height = 1920, 1080
 
     import jax
     import jax.numpy as jnp
@@ -44,8 +29,8 @@ def main():
 
     from stratum_tpu.render import camera
     from stratum_tpu.scene import builtin, flatten
-    from stratum_tpu.ops import packet as spacket
     from stratum_tpu.ops import pallas_trace as spallas
+    from stratum_tpu.ops.intersect import T_MAX
 
     g = builtin.atrium()
     scene, _ = flatten.flatten(g.root)
@@ -53,17 +38,44 @@ def main():
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
     n = width * height
     geo = scene.geo
-    print(f"atrium {geo.num_triangles} tris, {n} rays")
+    fat = scene.fat_bvh
+    print(f"L={fat.num_leaves} leaves of K={fat.leaf_size}")
 
     px, py = camera.pixel_grid_tiled(width, height, 8, 64)
     u = jnp.full((n, 2), 0.5, jnp.float32)
     o0, d0 = camera.generate_rays(view, px, py, u, width, height)
 
-    # secondary rays: diffuse bounce off primary hits, sorted by
-    # (octant, morton) like the integrator does
+    @jax.jit
+    def run_raw(o, d):
+        tm = jnp.full((n,), T_MAX, jnp.float32)
+        rays, geom, cand, centry, ncand, _ = spallas._prepare(
+            fat, o, d, 1e-4, tm, 512
+        )
+        out = spallas._run_blocks(
+            rays, geom, cand, centry, ncand,
+            spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed, block=512,
+        )
+        return out, ncand
+
+    def report(name, o, d):
+        out, ncand = run_raw(o, d)
+        iters = np.asarray(out[:, 2, 0])
+        execs = np.asarray(out[:, 3, 0])
+        nc = np.asarray(ncand).reshape(-1)
+        print(
+            f"{name}: cand/block mean {nc.mean():6.1f} p95 "
+            f"{np.percentile(nc, 95):6.0f}   iters mean {iters.mean():6.1f} "
+            f"p95 {np.percentile(iters, 95):6.0f}   execs mean "
+            f"{execs.mean():6.1f} p95 {np.percentile(execs, 95):6.0f} "
+            f"max {execs.max():5.0f}"
+        )
+
+    report("primary          ", o0, d0)
+
+    # sorted secondary
     h = jax.jit(
         lambda o, d: spallas.pallas_closest(
-            scene.fat_bvh, scene.leaf_feat_packed, o, d, block=512
+            fat, scene.leaf_feat_packed, o, d, block=512
         )
     )(o0, d0)
     from stratum_tpu.core import rng as srng
@@ -91,33 +103,8 @@ def main():
     key = (octant << jnp.uint32(29)) | (morton3(q) >> jnp.uint32(3))
     key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
-    o1s, d1s = o1[order], d1[order]
-
-    pos_np = np.asarray(geo.positions)
-    idx_np = np.asarray(geo.indices)
-    valid_np = np.asarray(geo.tri_material >= 0)
-
-    for leaf_k in (64, 128, 256):
-        fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid_np, leaf_size=leaf_k)
-        if fat is None:
-            print(f"K={leaf_k}: native builder unavailable")
-            continue
-        packed = spallas.pack_leaf_features(fat)
-        packed = jax.device_put(packed)
-        print(f"K={leaf_k}: L={fat.num_leaves} leaves, slab "
-              f"{packed.shape[1]}x{packed.shape[2]} "
-              f"({packed.nbytes/1e6:.0f} MB total)")
-        for block in (256, 512):
-            f = jax.jit(
-                lambda o, d, fat=fat, packed=packed, block=block:
-                spallas.pallas_closest(fat, packed, o, d, block=block).t.sum()
-            )
-            dt_p = timed(f, o0, d0)
-            dt_s = timed(f, o1s, d1s)
-            print(
-                f"  B={block}: primary {dt_p*1e3:7.1f} ms ({n/dt_p/1e6:5.1f} Mr/s)"
-                f"   secondary(sorted) {dt_s*1e3:7.1f} ms ({n/dt_s/1e6:5.1f} Mr/s)"
-            )
+    report("secondary sorted ", o1[order], d1[order])
+    report("secondary unsorted", o1, d1)
     return 0
 
 

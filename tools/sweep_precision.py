@@ -1,8 +1,7 @@
-"""Sweep fat-BVH leaf size K and ray-block size B for the Pallas tracer on
-coherent (primary) and incoherent (secondary) waves. Drives the perf work on
-the secondary-bounce bottleneck (STATUS.md perf next steps #1).
+"""Measure MT-matmul precision tradeoff in the Pallas tracer: HIGHEST
+(6-pass f32 emulation) vs HIGH (3-pass) — time and hit parity on the atrium.
 
-Usage: python tools/sweep_tracer.py [--width=1920] [--height=1080]
+Usage: python tools/sweep_precision.py
 """
 
 from __future__ import annotations
@@ -28,23 +27,19 @@ def timed(fn, *args, reps=3):
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+    return (time.time() - t0) / reps, out
 
 
 def main():
-    from stratum_tpu.utils.flags import Options
-
-    opts = Options(sys.argv[1:])
-    width = opts.get_int("width", 1920)
-    height = opts.get_int("height", 1080)
+    width, height = 1920, 1080
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from stratum_tpu.render import camera
     from stratum_tpu.scene import builtin, flatten
-    from stratum_tpu.ops import packet as spacket
     from stratum_tpu.ops import pallas_trace as spallas
 
     g = builtin.atrium()
@@ -53,14 +48,12 @@ def main():
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
     n = width * height
     geo = scene.geo
-    print(f"atrium {geo.num_triangles} tris, {n} rays")
 
     px, py = camera.pixel_grid_tiled(width, height, 8, 64)
     u = jnp.full((n, 2), 0.5, jnp.float32)
     o0, d0 = camera.generate_rays(view, px, py, u, width, height)
 
-    # secondary rays: diffuse bounce off primary hits, sorted by
-    # (octant, morton) like the integrator does
+    # secondary rays (sorted), as in sweep_tracer
     h = jax.jit(
         lambda o, d: spallas.pallas_closest(
             scene.fat_bvh, scene.leaf_feat_packed, o, d, block=512
@@ -93,31 +86,35 @@ def main():
     order = jnp.argsort(key)
     o1s, d1s = o1[order], d1[order]
 
-    pos_np = np.asarray(geo.positions)
-    idx_np = np.asarray(geo.indices)
-    valid_np = np.asarray(geo.tri_material >= 0)
+    results = {}
+    for prec_name, prec in (("HIGHEST", lax.Precision.HIGHEST),
+                            ("HIGH", lax.Precision.HIGH),
+                            ("DEFAULT", lax.Precision.DEFAULT)):
+        spallas.MT_PRECISION = prec
+        # new jit wrapper per precision (global isn't a jit key)
+        f = jax.jit(
+            lambda o, d, _p=prec_name: spallas.pallas_closest(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, block=512
+            )
+        )
+        dt_p, hp = timed(f, o0, d0)
+        dt_s, hs = timed(f, o1s, d1s)
+        results[prec_name] = (hp, hs)
+        print(f"{prec_name:8s}: primary {dt_p*1e3:7.1f} ms ({n/dt_p/1e6:5.1f} Mr/s)"
+              f"   secondary {dt_s*1e3:7.1f} ms ({n/dt_s/1e6:5.1f} Mr/s)")
 
-    for leaf_k in (64, 128, 256):
-        fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid_np, leaf_size=leaf_k)
-        if fat is None:
-            print(f"K={leaf_k}: native builder unavailable")
-            continue
-        packed = spallas.pack_leaf_features(fat)
-        packed = jax.device_put(packed)
-        print(f"K={leaf_k}: L={fat.num_leaves} leaves, slab "
-              f"{packed.shape[1]}x{packed.shape[2]} "
-              f"({packed.nbytes/1e6:.0f} MB total)")
-        for block in (256, 512):
-            f = jax.jit(
-                lambda o, d, fat=fat, packed=packed, block=block:
-                spallas.pallas_closest(fat, packed, o, d, block=block).t.sum()
+    ref_p, ref_s = results["HIGHEST"]
+    for name in ("HIGH", "DEFAULT"):
+        tp, ts = results[name]
+        for label, a, b in (("primary", ref_p, tp), ("secondary", ref_s, ts)):
+            tri_mismatch = float(jnp.mean((a.tri != b.tri).astype(jnp.float32)))
+            both = (a.tri >= 0) & (b.tri >= 0)
+            t_rel = jnp.where(
+                both, jnp.abs(a.t - b.t) / jnp.maximum(a.t, 1e-6), 0.0
             )
-            dt_p = timed(f, o0, d0)
-            dt_s = timed(f, o1s, d1s)
-            print(
-                f"  B={block}: primary {dt_p*1e3:7.1f} ms ({n/dt_p/1e6:5.1f} Mr/s)"
-                f"   secondary(sorted) {dt_s*1e3:7.1f} ms ({n/dt_s/1e6:5.1f} Mr/s)"
-            )
+            print(f"{name} vs HIGHEST {label}: tri mismatch "
+                  f"{tri_mismatch*100:.4f}%  max t rel-err "
+                  f"{float(jnp.max(t_rel)):.2e}")
     return 0
 
 
