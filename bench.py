@@ -74,7 +74,7 @@ def main() -> int:
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
     cfg = integrator.RenderConfig(
         width=width, height=height, max_bounces=4, bsdf="disney",
-        sort_rays=True,
+        sort_rays=True, presample_lights=4096,
     )
     mrays_atrium, spp_s = _measure_e2e(scene, view, cfg, spp, integrator)
     results["atrium_e2e"] = round(mrays_atrium, 3)

@@ -1,0 +1,118 @@
+"""Trace-local wavefront sorting: reorder rays for block coherence INSIDE
+the tracer and scatter hit records back to the caller's lane order.
+
+This replaces carrying a sorted wavefront through the integrator (the
+round-2 in-carry sort permuted ~13 state arrays per bounce and cost ~290 ms
+per 2M-ray bounce; measured in tools/profile_overhead.py). Here only the
+ray triple rides one packed [N, 8] gather in and the hit record one packed
+gather out (~55 ms total), the caller's state never moves, and dead lanes
+(t_max <= 0) sort to the tail where whole blocks produce zero candidates
+and exit immediately — the wavefront-compaction effect without dynamic
+shapes.
+
+Sort key (measured best at 5 direction bits on the atrium,
+tools/sweep_sort.py): [dir(5) | morton(origin quantized to scene bounds)].
+Direction bits = octant(3) + 1x1-bit u,v on the dominant-axis cube face.
+The reference gets cheap coherence from screen-tile thread remapping
+(bdpt_util.hlsli:76-83); secondary rays have no screen structure left, so
+the 5D (origin, direction) key re-creates it.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from stratum_tpu.ops.bvh import morton3
+from stratum_tpu.ops.intersect import HitRecord
+
+DIR_BITS = 5
+
+
+def ray_key(origin, direction, t_max, lo, hi, dir_bits: int = DIR_BITS):
+    """u32 coherence key; dead lanes (t_max <= 0) get the max key."""
+    q = (origin - lo) / jnp.maximum(hi - lo, 1e-9)
+    octant = (
+        (direction[..., 0] > 0).astype(jnp.uint32)
+        | ((direction[..., 1] > 0).astype(jnp.uint32) << 1)
+        | ((direction[..., 2] > 0).astype(jnp.uint32) << 2)
+    )
+    extra = max(dir_bits - 3, 0)
+    if extra > 0:
+        half = extra // 2
+        ax = jnp.abs(direction)
+        dom = jnp.argmax(ax, axis=-1)
+        denom = jnp.maximum(jnp.max(ax, axis=-1), 1e-9)
+        u1 = jnp.take_along_axis(
+            direction, ((dom + 1) % 3)[:, None], axis=-1
+        )[:, 0] / denom
+        v1 = jnp.take_along_axis(
+            direction, ((dom + 2) % 3)[:, None], axis=-1
+        )[:, 0] / denom
+
+        def qb(x, b):
+            return jnp.clip(
+                ((x * 0.5 + 0.5) * (1 << b)).astype(jnp.uint32),
+                0, (1 << b) - 1,
+            )
+
+        dbits = (
+            (octant << jnp.uint32(extra))
+            | (qb(u1, extra - half) << jnp.uint32(half))
+            | qb(v1, half)
+        )
+    else:
+        dbits = octant
+    key = (dbits << jnp.uint32(32 - dir_bits)) | (
+        morton3(q) >> jnp.uint32(dir_bits)
+    )
+    return jnp.where(t_max > 0, key, jnp.uint32(0xFFFFFFFF))
+
+
+def sorted_trace_fns(closest, occluded, lo, hi, dir_bits: int = DIR_BITS):
+    """Wrap a (closest, occluded) tracer pair with trace-local sorting.
+
+    One packed [N, 8] gather carries (origin, direction, t_max) into sorted
+    order; hits come back through one packed [N, 4] inverse gather. The
+    wrapped functions are drop-in (same signatures/returns, caller lane
+    order preserved bit-exactly up to intersection ties)."""
+
+    def _order(o, d, tm):
+        key = ray_key(o, d, tm, lo, hi, dir_bits)
+        order = jnp.argsort(key)
+        n = order.shape[0]
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(n, dtype=order.dtype)
+        )
+        packed = jnp.concatenate(
+            [o, d, tm[:, None], jnp.zeros_like(tm)[:, None]], axis=-1
+        )[order]  # ONE row gather for all three inputs
+        return packed[:, 0:3], packed[:, 3:6], packed[:, 6], inv
+
+    def closest_sorted(o, d, tm=None):
+        if tm is None:
+            from stratum_tpu.ops.intersect import T_MAX
+
+            tm = jnp.full(o.shape[:1], T_MAX, jnp.float32)
+        os_, ds_, ts_, inv = _order(o, d, tm)
+        h = closest(os_, ds_, ts_)
+        packed = jnp.concatenate(
+            [
+                h.t[:, None],
+                h.tri.astype(jnp.float32)[:, None],
+                h.bary,
+            ],
+            axis=-1,
+        )[inv]  # ONE inverse gather for the whole record
+        return HitRecord(
+            t=packed[:, 0],
+            tri=packed[:, 1].astype(jnp.int32),
+            bary=packed[:, 2:4],
+        )
+
+    def occluded_sorted(o, d, t):
+        os_, ds_, ts_, inv = _order(o, d, t)
+        occ = occluded(os_, ds_, ts_)
+        return occ[inv]
+
+    return closest_sorted, occluded_sorted

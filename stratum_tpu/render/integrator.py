@@ -57,10 +57,13 @@ class RenderConfig:
                               # RayQuery commits, intersection.hlsli:118-128)
     ris_candidates: int = 1  # >1 enables reservoir (RIS) NEE
                              # (reference: eNEEReservoirs, bdpt.h + ReSTIR)
-    sort_rays: bool = False  # re-sort the wavefront by (octant, morton)
-                             # each bounce: block coherence for packet/pallas
-                             # tracers (reference: eRemapThreads/coherent-
-                             # sampling ideas, bdpt_util.hlsli:76-83)
+    sort_rays: bool = False  # trace-local wavefront re-sort (ops/raysort):
+                             # rays enter the BVH tracers in (direction
+                             # bucket, origin-morton) order and dead lanes
+                             # compact to block tails; the caller's lane
+                             # order never changes (reference:
+                             # eRemapThreads/coherent-sampling ideas,
+                             # bdpt_util.hlsli:76-83)
     indirect_only: bool = False  # drop camera-visible emission and direct
                                  # lighting (path lengths <= 2): the ReSTIR
                                  # DI pass supplies those when composed by
@@ -120,6 +123,14 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
     quadratic pass over every tracer (reference: procedural sphere commits
     inside the RayQuery loop, intersection.hlsli:105-117)."""
     closest, occluded = _trace_fns_tris(scene, cfg)
+    if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
+        from stratum_tpu.ops import raysort
+
+        lo = jnp.min(scene.geo.positions, axis=0)
+        hi = jnp.max(scene.geo.positions, axis=0)
+        closest, occluded = raysort.sorted_trace_fns(
+            closest, occluded, lo, hi
+        )
     if scene.spheres.num_spheres == 0:
         return closest, occluded
     from stratum_tpu.ops import spheres as sspheres
@@ -369,7 +380,6 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     # LOD, path.hlsli:224-244, image_value.h:81-97)
     cone_dist = jnp.zeros((n,), jnp.float32)
     cone_angle = 2.0 * jnp.tan(view.projection.vertical_fov * 0.5) / cfg.height
-    pixel_idx = jnp.arange(n, dtype=jnp.int32)  # lane -> original pixel
     # ray counters (reference: atomic total/shadow counters ->
     # rays/sec display, Node/BDPT.cpp:197-202, 385-391)
     n_rays = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32)
@@ -399,7 +409,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
     def bounce(carry, _):
         (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
-         n_rays, cone_dist, pixel_idx) = carry
+         n_rays, cone_dist) = carry
         n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
         # dead lanes trace a zero-length segment: packet/pallas blocks of
         # dead rays produce no candidates and exit immediately
@@ -704,7 +714,6 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     origin=nee_shadow_origin, wi=wi,
                     dist=jnp.where(candidate, dist, 0.0),
                     contrib=jnp.where(candidate[..., None], contrib, 0.0),
-                    pixel=pixel_idx,
                 )
             else:
                 occluded = trace_occluded(nee_shadow_origin, wi, dist)
@@ -747,7 +756,6 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     origin=nee_shadow_origin, wi=wi,
                     dist=jnp.where(candidate, dist, 0.0),
                     contrib=jnp.where(candidate[..., None], contrib, 0.0),
-                    pixel=pixel_idx,
                 )
             else:
                 occluded = trace_occluded(nee_shadow_origin, wi, dist)
@@ -795,91 +803,42 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         )
         alive = alive & survive
 
-        # -- wavefront re-sort (stream compaction analog, SURVEY.md M5) ----
-        if cfg.sort_rays:
-            from stratum_tpu.ops.bvh import morton3
-
-            lo = jnp.min(geo.positions, axis=0)
-            hi = jnp.max(geo.positions, axis=0)
-            q = (origin - lo) / jnp.maximum(hi - lo, 1e-9)
-            octant = (
-                (direction[..., 0] > 0).astype(jnp.uint32)
-                | ((direction[..., 1] > 0).astype(jnp.uint32) << 1)
-                | ((direction[..., 2] > 0).astype(jnp.uint32) << 2)
-            )
-            key = (octant << np.uint32(29)) | (morton3(q) >> np.uint32(3))
-            key = jnp.where(alive, key, np.uint32(0xFFFFFFFF))
-            order = jnp.argsort(key)
-            (origin, direction, beta, radiance, alive, prev_pdf_w, st,
-             cone_dist, pixel_idx) = jax.tree.map(
-                lambda a: a[order],
-                (origin, direction, beta, radiance, alive, prev_pdf_w, st,
-                 cone_dist, pixel_idx),
-            )
-
+        # (wavefront coherence: cfg.sort_rays now re-sorts INSIDE the
+        # tracers — ops/raysort — so the integrator state never moves)
         if not (cfg.use_nee and cfg.defer_shadows):
             shadow_batch = None
         return (
             origin, direction, beta, radiance, alive, prev_pdf_w, st,
-            depth + 1, n_rays, cone_dist, pixel_idx,
+            depth + 1, n_rays, cone_dist,
         ), shadow_batch
 
     carry = (
         origin, direction, beta, radiance, alive, prev_pdf_w, st,
-        jnp.asarray(0), n_rays, cone_dist, pixel_idx,
+        jnp.asarray(0), n_rays, cone_dist,
     )
     carry, shadow_ys = lax.scan(
         bounce, carry, None, length=cfg.max_bounces + 1
     )
-    radiance_sorted, pixel_idx = carry[3], carry[10]
-    if cfg.sort_rays:
-        # scatter lanes back to their pixels
-        radiance_out = jnp.zeros_like(radiance_sorted)
-        radiance_out = radiance_out.at[pixel_idx].set(radiance_sorted)
-    else:
-        radiance_out = radiance_sorted
+    radiance_out = carry[3]
 
     if cfg.use_nee and cfg.defer_shadows:
         # ---- deferred shadow wave (trace_shadows, bdpt.hlsl:304-326) ------
-        # every bounce's NEE rays in ONE occlusion pass: candidate prep is
-        # amortized and one sort coheres shadow rays across bounces
+        # every bounce's NEE rays in ONE occlusion pass; with sort_rays the
+        # tracer re-orders them internally (ops/raysort), so lanes stay
+        # pixel-ordered here and the accumulation is a bounce-axis sum (a
+        # scattered .at[].add costs 100ms+ at 10M rows)
         d_ = cfg.max_bounces + 1
         o_f = shadow_ys["origin"].reshape(d_ * n, 3)
         w_f = shadow_ys["wi"].reshape(d_ * n, 3)
         t_f = shadow_ys["dist"].reshape(d_ * n)
         c_f = shadow_ys["contrib"].reshape(d_ * n, 3)
-        p_f = shadow_ys["pixel"].reshape(d_ * n)
-        if cfg.sort_rays:
-            from stratum_tpu.ops.bvh import morton3
-
-            lo = jnp.min(geo.positions, axis=0)
-            hi = jnp.max(geo.positions, axis=0)
-            q = (o_f - lo) / jnp.maximum(hi - lo, 1e-9)
-            octant = (
-                (w_f[..., 0] > 0).astype(jnp.uint32)
-                | ((w_f[..., 1] > 0).astype(jnp.uint32) << 1)
-                | ((w_f[..., 2] > 0).astype(jnp.uint32) << 2)
-            )
-            key = (octant << np.uint32(29)) | (morton3(q) >> np.uint32(3))
-            key = jnp.where(t_f > 0, key, np.uint32(0xFFFFFFFF))
-            order = jnp.argsort(key)
-            o_f, w_f, t_f, c_f, p_f = (
-                o_f[order], w_f[order], t_f[order], c_f[order], p_f[order]
-            )
         occ = trace_occluded(o_f, w_f, t_f)
         hit_contrib = jnp.where(
             (~occ & (t_f > 0))[..., None], c_f, 0.0
         )
-        if cfg.sort_rays:
-            radiance_out = radiance_out.at[p_f].add(hit_contrib)
-        else:
-            # lanes stay pixel-ordered without the re-sort: the scatter-add
-            # is just a sum over the bounce axis (XLA can't see that p_f is
-            # the identity tiling, and the sorted-scatter lowering costs
-            # ~100ms+ at 10M rows)
-            radiance_out = radiance_out + hit_contrib.reshape(
-                d_, n, 3
-            ).sum(axis=0)
+        radiance_out = radiance_out + hit_contrib.reshape(
+            d_, n, 3
+        ).sum(axis=0)
     return radiance_out, carry[8]
 
 
