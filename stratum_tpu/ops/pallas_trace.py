@@ -58,6 +58,11 @@ MT_MODE = "x3"
 # <= 2^-13 relative (low bits cleared) — below the tracer's 1e-4 epsilon.
 PACKED_ARGMIN = True
 _IDX_BITS = 10  # supports leaf_size up to 1024
+# Sub-blocks per ray block: per-sub pretests let a leaf pay matmul/epilogue
+# work only for the 128-lane groups whose rays can still improve. None =
+# one sub per 128-lane group (measured best: secondary atrium wave
+# 518 -> 334 ms at block=2048/subs=16; primary flat).
+SUBS = None
 
 
 def pack_leaf_features(fat) -> jnp.ndarray:
@@ -167,7 +172,7 @@ def _mt_quants(rays, slab, k, mode="x3"):
 def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
             feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
             aabb_s, asem, best_ref, slot_ref, mode="x3",
-            packed_argmin=PACKED_ARGMIN):
+            packed_argmin=PACKED_ARGMIN, subs=1):
     b = pl.program_id(0)
     _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
@@ -224,13 +229,27 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 
         leaf = cand_at(c)
         adma(slot, c).wait()
-        want = _pretest(geom, aabb_s, slot, lax.rem(leaf, 8), best_ref[...])
+        # per-SUB-BLOCK pretests: a leaf only pays [K, B/subs] matmul +
+        # epilogue work for the sub-blocks whose rays can still improve —
+        # incoherent waves typically want a leaf in 1-2 of 4 sub-blocks
+        sw = B // subs
+        wants = [
+            _pretest(
+                geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
+                lax.rem(leaf, 8), best_ref[0:1, s * sw : (s + 1) * sw],
+            )
+            for s in range(subs)
+        ]
+        want = wants[0]
+        for w_s in wants[1:]:
+            want = want | w_s
         dma(slot, c).wait()  # started unconditionally: always consume
 
-        @pl.when(want)
-        def _():
-            best_row = best_ref[...]  # [1, B]
-            abs_a, stn, base_valid = _mt_quants(rays_mm, buf[slot], k, mode)
+        def commit(lo_c):
+            best_row = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
+            abs_a, stn, base_valid = _mt_quants(
+                rays_mm[:, lo_c : lo_c + sw], buf[slot], k, mode
+            )
             valid = base_valid & (stn < best_row * abs_a)
             # Mosaic has no general gather: select the per-ray winner
             # without one. Barycentrics of the winner are recomputed
@@ -250,7 +269,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
                 iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
                 packed = jnp.min(
                     (bits & mask) | iota_k, axis=0, keepdims=True
-                )  # [1, B]
+                )  # [1, sw]
                 tk = jax.lax.bitcast_convert_type(
                     packed & mask, jnp.float32
                 )
@@ -261,16 +280,23 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
                 tt = jnp.where(
                     valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
                 )
-                kbest = jnp.argmin(tt, axis=0)  # [B]
+                kbest = jnp.argmin(tt, axis=0)  # [sw]
                 onehot = (
                     lax.broadcasted_iota(jnp.int32, tt.shape, 0)
                     == kbest[None, :]
                 ).astype(tt.dtype)
-                tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, B]
+                tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, sw]
                 closer = tk < best_row
                 slot_id = (leaf * k + kbest).astype(jnp.float32)[None, :]
-            best_ref[...] = jnp.where(closer, tk, best_row)
-            slot_ref[...] = jnp.where(closer, slot_id, slot_ref[...])
+            best_ref[0:1, lo_c : lo_c + sw] = jnp.where(
+                closer, tk, best_row
+            )
+            slot_ref[0:1, lo_c : lo_c + sw] = jnp.where(
+                closer, slot_id, slot_ref[0:1, lo_c : lo_c + sw]
+            )
+
+        for s in range(subs):
+            pl.when(wants[s])(functools.partial(commit, s * sw))
 
         return nxt, jnp.max(best_ref[...]), nex + want.astype(jnp.int32)
 
@@ -300,7 +326,8 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 
 def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
                 aabb_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
-                csem, aabb_s, asem, best_ref, slot_ref, mode="x3"):
+                csem, aabb_s, asem, best_ref, slot_ref, mode="x3",
+                subs=1):
     """Any-hit variant: a committed hit zeroes the ray's t bound, so the
     front-to-back loop exits as soon as every ray is blocked (or no
     candidate leaf starts inside a surviving segment) — the reference's
@@ -359,16 +386,27 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
 
         leaf = cand_at(c)
         adma(slot, c).wait()
-        want = _pretest(geom, aabb_s, slot, lax.rem(leaf, 8), best_ref[...])
+        sw = B // subs
+        wants = [
+            _pretest(
+                geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
+                lax.rem(leaf, 8), best_ref[0:1, s * sw : (s + 1) * sw],
+            )
+            for s in range(subs)
+        ]
         dma(slot, c).wait()
 
-        @pl.when(want)
-        def _():
-            bound = best_ref[...]  # [1, B]
-            abs_a, stn, base_valid = _mt_quants(rays_mm, buf[slot], k, mode)
+        def commit(lo_c):
+            bound = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
+            abs_a, stn, base_valid = _mt_quants(
+                rays_mm[:, lo_c : lo_c + sw], buf[slot], k, mode
+            )
             valid = base_valid & (stn < bound * abs_a)
-            blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, B]
-            best_ref[...] = jnp.where(blocked, 0.0, bound)
+            blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, sw]
+            best_ref[0:1, lo_c : lo_c + sw] = jnp.where(blocked, 0.0, bound)
+
+        for s in range(subs):
+            pl.when(wants[s])(functools.partial(commit, s * sw))
 
         return nxt, jnp.max(best_ref[...])
 
@@ -387,6 +425,14 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     )
 
 
+def _resolve_subs(subs, block):
+    if subs is not None:
+        return subs
+    if SUBS is not None:
+        return SUBS
+    return max(1, block // 128)
+
+
 def _pack8(arr, fill):
     """[nb, C] -> [nb, 8, C8] with element c at (c%8, c//8); C8 is padded to
     a multiple of 128 so HBM slices stay lane-tile aligned."""
@@ -401,19 +447,22 @@ def _pack8(arr, fill):
     jax.jit,
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
+        "subs",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
-                mode="x3", packed_argmin=PACKED_ARGMIN):
+                mode="x3", packed_argmin=PACKED_ARGMIN, subs=1):
     nb, c_max = cand.shape
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
     kernel = (
-        functools.partial(_kernel, mode=mode, packed_argmin=packed_argmin)
+        functools.partial(
+            _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs
+        )
         if kernel_name == "closest"
-        else functools.partial(_kernel_occ, mode=mode)
+        else functools.partial(_kernel_occ, mode=mode, subs=subs)
     )
     return pl.pallas_call(
         kernel,
@@ -508,7 +557,7 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
 
 def pallas_closest(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
-    block: int = BLOCK, interpret: bool = False,
+    block: int = BLOCK, interpret: bool = False, subs: int | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene)."""
@@ -522,6 +571,7 @@ def pallas_closest(
         rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
         leaf_feat_packed, interpret=interpret, block=block,
         mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
+        subs=_resolve_subs(subs, block),
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -548,7 +598,7 @@ def pallas_closest(
 
 def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
-    block: int = BLOCK, interpret: bool = False,
+    block: int = BLOCK, interpret: bool = False, subs: int | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
@@ -561,5 +611,6 @@ def pallas_occluded(
         rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
         leaf_feat_packed, interpret=interpret, block=block,
         kernel_name="occluded", mode=MT_MODE,
+        subs=_resolve_subs(subs, block),
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

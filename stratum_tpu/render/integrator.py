@@ -176,8 +176,11 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
     if tracer == "pallas":
         from stratum_tpu.ops import pallas_trace as spallas
 
-        dims = scamera.tile_dims(cfg.width, cfg.height)
-        blk = max(512, min(dims[0] * dims[1] if dims else 2048, 2048))
+        # block 2048 with one sub-block per 128 lanes measured best on the
+        # atrium (tools/sweep_kernel_variants.py): per-block fixed costs
+        # amortize over 16 sub-blocks while each leaf only pays for the
+        # sub-blocks that want it
+        blk = 2048
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,

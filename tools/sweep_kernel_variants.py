@@ -89,25 +89,25 @@ def main():
     o1s, d1s = o1[order], d1[order]
 
     ref = {}
-    for name, mode, block in (
-        ("f32 b512", "f32", 512),
-        ("auto b512", "auto", 512),
-        ("x3 b512", "x3", 512),
-        ("fast b512", "fast", 512),
-        ("x3 b256", "x3", 256),
-        ("fast b256", "fast", 256),
+    for name, mode, block, subs in (
+        ("f32 s1 b512", "f32", 512, 1),
+        ("x3 s1 b512", "x3", 512, 1),
+        ("x3 s2 b512", "x3", 512, 2),
+        ("x3 s4 b512", "x3", 512, 4),
+        ("x3 s8 b1024", "x3", 1024, 8),
+        ("x3 s16 b2048", "x3", 2048, 16),
     ):
         spallas.MT_MODE = mode
         f = jax.jit(
             lambda o, d, _tag=name: spallas.pallas_closest(
-                fat, scene.leaf_feat_packed, o, d, block=block
+                fat, scene.leaf_feat_packed, o, d, block=block, subs=subs
             )
         )
         dt_p, hp = timed(f, o0, d0)
         dt_s, hs = timed(f, o1s, d1s)
         print(f"{name:12s}: primary {dt_p*1e3:7.1f} ms ({n/dt_p/1e6:5.1f} Mr/s)"
               f"   secondary {dt_s*1e3:7.1f} ms ({n/dt_s/1e6:5.1f} Mr/s)")
-        if name == "f32 b512":
+        if name == "f32 s1 b512":
             ref = {"p": hp, "s": hs}
         else:
             for lbl, a, b in (("p", ref["p"], hp), ("s", ref["s"], hs)):
