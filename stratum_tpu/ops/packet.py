@@ -166,12 +166,18 @@ def build_fat_bvh(
 def _block_entries(fat: FatBVH, origin, direction, t_min, t_clip, chunk=256):
     """Min-over-block entry distance to every leaf AABB: [L] (inf = the
     whole block misses or enters beyond its t_clip). Chunked over leaves;
-    per-ray values are reduced immediately — nothing [B, L] materializes."""
+    per-ray values are reduced immediately — nothing [B, L] materializes.
+
+    The xyz axes are scalarized so every intermediate is [B, chunk] with
+    the leaf chunk on the LANE dim — a [B, chunk, 3] layout tile-pads the
+    3-lane minor dim to 128 (measured 4x slower for this pass)."""
     inv_d = jnp.where(
         jnp.abs(direction) > 1e-20,
         1.0 / direction,
         jnp.sign(direction) * 1e20 + 1e20,
     )
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]  # [B, 1]
+    ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
     L = fat.num_leaves
     chunk = min(chunk, L)
     nc = -(-L // chunk)
@@ -179,18 +185,32 @@ def _block_entries(fat: FatBVH, origin, direction, t_min, t_clip, chunk=256):
     hi = jnp.pad(fat.leaf_hi, ((0, nc * chunk - L), (0, 0)), constant_values=-3e37)
     lo = lo.reshape(nc, chunk, 3)
     hi = hi.reshape(nc, chunk, 3)
+    axes = (
+        lo[..., 0], lo[..., 1], lo[..., 2],
+        hi[..., 0], hi[..., 1], hi[..., 2],
+    )  # each [nc, chunk]
 
-    def body(_, chunk_bounds):
-        clo, chi = chunk_bounds
-        t0 = (clo - origin[:, None, :]) * inv_d[:, None, :]
-        t1 = (chi - origin[:, None, :]) * inv_d[:, None, :]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    def body(_, cb):
+        lox, loy, loz, hix, hiy, hiz = (c[None, :] for c in cb)  # [1, chunk]
+        t0x = (lox - ox) * ix  # [B, chunk]
+        t1x = (hix - ox) * ix
+        t0y = (loy - oy) * iy
+        t1y = (hiy - oy) * iy
+        t0z = (loz - oz) * iz
+        t1z = (hiz - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
         hit = (tn <= tf) & (tf >= t_min) & (tn < t_clip[:, None])
         entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
         return None, jnp.min(entry, axis=0)  # reduce over rays NOW
 
-    _, entries = lax.scan(body, None, (lo, hi))  # [nc, chunk]
+    _, entries = lax.scan(body, None, axes)  # [nc, chunk]
     return entries.reshape(nc * chunk)[:L]
 
 

@@ -49,11 +49,11 @@ def main():
     def run_raw(o, d):
         tm = jnp.full((n,), T_MAX, jnp.float32)
         rays, geom, cand, centry, ncand, _ = spallas._prepare(
-            fat, o, d, 1e-4, tm, 512
+            fat, o, d, 1e-4, tm, 2048
         )
         out = spallas._run_blocks(
             rays, geom, cand, centry, ncand,
-            spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed, block=512,
+            spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed, block=2048,
         )
         return out, ncand
 
@@ -75,7 +75,7 @@ def main():
     # sorted secondary
     h = jax.jit(
         lambda o, d: spallas.pallas_closest(
-            fat, scene.leaf_feat_packed, o, d, block=512
+            fat, scene.leaf_feat_packed, o, d, block=2048
         )
     )(o0, d0)
     from stratum_tpu.core import rng as srng
