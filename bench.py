@@ -113,7 +113,7 @@ def main() -> int:
     node2, cam2 = flatten.find_camera(g2.root)
     view2 = camera.make_view(node2.to_world(), cam2.fovy, width, height)
     cfg2 = integrator.RenderConfig(
-        width=width, height=height, max_bounces=4
+        width=width, height=height, max_bounces=4, presample_lights=4096,
     )
     mrays_cornell, _ = _measure_e2e(scene2, view2, cfg2, spp, integrator)
     results["cornell_e2e"] = round(mrays_cornell, 3)

@@ -419,8 +419,14 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         adma(lax.rem(c_final, 2), c_final).wait()
 
     blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
+    # row 2: candidate iterations executed (diagnostics, profile tools)
     out_ref[0] = jnp.concatenate(
-        [blocked.astype(jnp.float32), jnp.zeros((3, B), jnp.float32)],
+        [
+            blocked.astype(jnp.float32),
+            jnp.zeros((1, B), jnp.float32),
+            jnp.full((1, B), c_final.astype(jnp.float32)),
+            jnp.zeros((1, B), jnp.float32),
+        ],
         axis=0,
     )
 

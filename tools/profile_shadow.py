@@ -1,0 +1,132 @@
+"""Profile the deferred shadow wave: build realistic NEE shadow rays
+(primary+secondary hit points toward presampled light-tile entries, env
+lanes get long rays) and measure the any-hit kernel + iteration stats and
+the effect of sorting / env share.
+
+Usage: python tools/profile_shadow.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stratum_jax_cache")
+
+from stratum_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
+
+def timed(fn, *args, reps=3):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps, out
+
+
+def main():
+    width, height = 1920, 1080
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stratum_tpu.render import camera
+    from stratum_tpu.render import lights as slights
+    from stratum_tpu.scene import builtin, flatten
+    from stratum_tpu.ops import pallas_trace as spallas
+    from stratum_tpu.ops.intersect import T_MAX, ray_offset
+    from stratum_tpu.core import rng as srng
+    from stratum_tpu.core import math as smath
+    from stratum_tpu.render.shading import make_shading_point
+    from stratum_tpu.ops import raysort
+
+    g = builtin.atrium()
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    view = camera.make_view(node.to_world(), cam.fovy, width, height)
+    n = width * height
+    geo = scene.geo
+    fat = scene.fat_bvh
+
+    px, py = camera.pixel_grid_tiled(width, height, 8, 64)
+    u = jnp.full((n, 2), 0.5, jnp.float32)
+    o0, d0 = camera.generate_rays(view, px, py, u, width, height)
+    h = jax.jit(
+        lambda o, d: spallas.pallas_closest(
+            fat, scene.leaf_feat_packed, o, d, block=2048
+        )
+    )(o0, d0)
+    sp = make_shading_point(geo, h.tri, h.bary, d0)
+
+    # presampled tile like the integrator
+    t_tile = 4096
+    st_tile = srng.rng_init(
+        jnp.arange(t_tile, dtype=jnp.uint32), np.uint32(0x1EA51E57), 0
+    )
+    ut, _ = srng.next_floats(st_tile, 3)
+    tl = slights.sample_light(scene, ut[..., 0], ut[..., 1], ut[..., 2])
+    frac_env = float(jnp.mean(tl.is_env.astype(jnp.float32)))
+    print(f"presampled tile: {t_tile} entries, env fraction {frac_env:.2f}")
+
+    st = srng.rng_init(px, py, 11)
+    uu, _ = srng.next_floats(st, 1)
+    idx = jnp.minimum((uu[..., 0] * t_tile).astype(jnp.int32), t_tile - 1)
+    l_pos = tl.position[idx]
+    l_env = tl.is_env[idx]
+    origin = ray_offset(sp.position, sp.geom_normal)
+    to_l = jnp.where(l_env[:, None], l_pos, l_pos - origin)
+    dist = jnp.where(l_env, T_MAX * 0.5, smath.length(to_l))
+    wi = jnp.where(
+        l_env[:, None], l_pos, to_l / jnp.maximum(dist, 1e-20)[:, None]
+    )
+    alive = h.tri >= 0
+    dist = jnp.where(alive, dist, 0.0)
+
+    def stats(name, o, d, t):
+        @jax.jit
+        def run(o, d, t):
+            limit = t * np.float32(1.0 - 1e-3)
+            rays, geom, cand, centry, ncand, _ = spallas._prepare(
+                fat, o, d, 1e-4, limit, 2048
+            )
+            out = spallas._run_blocks(
+                rays, geom, cand, centry, ncand,
+                spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed,
+                block=2048, kernel_name="occluded",
+                mode=spallas.MT_MODE, subs=16,
+            )
+            return out, ncand
+
+        dt, (out, ncand) = timed(run, o, d, t)
+        iters = np.asarray(out[:, 2, 0])
+        nc = np.asarray(ncand).reshape(-1)
+        print(f"{name}: {dt*1e3:7.1f} ms ({n/dt/1e6:5.1f} Mr/s)  "
+              f"cand/blk mean {nc.mean():6.1f}  iters mean {iters.mean():6.1f} "
+              f"p95 {np.percentile(iters,95):5.0f}")
+
+    stats("shadow unsorted      ", origin, wi, dist)
+    lo = jnp.min(geo.positions, axis=0)
+    hi = jnp.max(geo.positions, axis=0)
+    key = raysort.ray_key(origin, wi, dist, lo, hi)
+    order = jnp.argsort(key)
+    stats("shadow sorted (5bit) ", origin[order], wi[order], dist[order])
+
+    # split: area-light rays only vs env rays only
+    area = alive & ~l_env
+    env = alive & l_env
+    stats("area-only            ", origin, wi, jnp.where(area, dist, 0.0))
+    stats("env-only             ", origin, wi, jnp.where(env, dist, 0.0))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
