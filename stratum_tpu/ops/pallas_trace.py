@@ -460,6 +460,12 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
                 mode="x3", packed_argmin=PACKED_ARGMIN, subs=1):
     nb, c_max = cand.shape
+    if leaf_feat.shape[-1] // 4 > (1 << _IDX_BITS):
+        raise ValueError(
+            f"leaf_size {leaf_feat.shape[-1] // 4} exceeds the packed-argmin "
+            f"index budget ({1 << _IDX_BITS}); rebuild the BVH with smaller "
+            "leaves or raise _IDX_BITS"
+        )
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
