@@ -52,7 +52,8 @@ def main():
     print(f"atrium {scene.geo.num_triangles} tris, {width}x{height} = {n} rays")
 
     # --- bounce-depth sweep: marginal cost of each bounce ------------------
-    base = dict(width=width, height=height, bsdf="disney", sort_rays=True)
+    base = dict(width=width, height=height, bsdf="disney", sort_rays=True,
+                presample_lights=4096)
     prev = 0.0
     for mb in (0, 1, 2, 4):
         cfg = integrator.RenderConfig(max_bounces=mb, **base)
@@ -64,7 +65,8 @@ def main():
 
     # --- no-sort variant ----------------------------------------------------
     cfg = integrator.RenderConfig(max_bounces=4, width=width, height=height,
-                                  bsdf="disney", sort_rays=False)
+                                  bsdf="disney", sort_rays=False,
+                                  presample_lights=4096)
     dt = timed(lambda s: integrator.render_path(scene, view, cfg, s), 1, reps=2)
     print(f"max_bounces=4 sort_rays=False: {dt*1e3:8.1f} ms")
 
