@@ -72,10 +72,8 @@ def main() -> int:
     scene, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
-    # sort_rays=False: with 128-lane sub-block gating in the kernel, the
-    # trace-local sort's ~55ms/wave machinery (plus 10M-row gathers on the
-    # deferred shadow wave) costs more than the residual coherence it buys
-    # (measured 2085 vs 2406 ms/spp, tools/profile_e2e.py)
+    # sort_rays (default True) sorts CLOSEST waves only: measured 1987
+    # (closest-only) / 2085 (none) / 2406 (closest+shadow) ms/spp
     cfg = integrator.RenderConfig(
         width=width, height=height, max_bounces=4, bsdf="disney",
         presample_lights=4096,

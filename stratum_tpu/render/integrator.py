@@ -57,13 +57,17 @@ class RenderConfig:
                               # RayQuery commits, intersection.hlsli:118-128)
     ris_candidates: int = 1  # >1 enables reservoir (RIS) NEE
                              # (reference: eNEEReservoirs, bdpt.h + ReSTIR)
-    sort_rays: bool = False  # trace-local wavefront re-sort (ops/raysort):
-                             # rays enter the BVH tracers in (direction
-                             # bucket, origin-morton) order and dead lanes
-                             # compact to block tails; the caller's lane
-                             # order never changes (reference:
-                             # eRemapThreads/coherent-sampling ideas,
-                             # bdpt_util.hlsli:76-83)
+    sort_rays: bool = True  # trace-local re-sort of CLOSEST waves
+                            # (ops/raysort): rays enter the BVH tracers in
+                            # (direction bucket, origin-morton) order and
+                            # dead lanes compact to block tails; the
+                            # caller's lane order never changes. Occlusion
+                            # waves stay unsorted — with 128-lane sub-block
+                            # gating the 10M-row sort machinery costs more
+                            # than it buys there (measured 1987 / 2104 /
+                            # 2406 ms/spp for closest-only / none / both).
+                            # (reference: eRemapThreads/coherent-sampling,
+                            # bdpt_util.hlsli:76-83)
     indirect_only: bool = False  # drop camera-visible emission and direct
                                  # lighting (path lengths <= 2): the ReSTIR
                                  # DI pass supplies those when composed by
@@ -128,9 +132,7 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
 
         lo = jnp.min(scene.geo.positions, axis=0)
         hi = jnp.max(scene.geo.positions, axis=0)
-        closest, occluded = raysort.sorted_trace_fns(
-            closest, occluded, lo, hi
-        )
+        closest, _ = raysort.sorted_trace_fns(closest, occluded, lo, hi)
     if scene.spheres.num_spheres == 0:
         return closest, occluded
     from stratum_tpu.ops import spheres as sspheres
