@@ -58,6 +58,10 @@ MT_MODE = "x3"
 # <= 2^-13 relative (low bits cleared) — below the tracer's 1e-4 epsilon.
 PACKED_ARGMIN = True
 _IDX_BITS = 10  # supports leaf_size up to 1024
+# candidate DMA slots (ring): prefetch depth is NBUF-1. Depth 2 measured
+# NEUTRAL end-to-end (3.358 vs 3.354 Mrays/s) — the depth-1 double buffer
+# already hides the leaf slab + AABB transfers — so stay at 2.
+NBUF = 2
 # Sub-blocks per ray block: per-sub pretests let a leaf pay matmul/epilogue
 # work only for the 128-lane groups whose rays can still improve. None =
 # one sub per 128-lane group (measured best: secondary atrium wave
@@ -208,10 +212,11 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
     best_ref[...] = t_max
     slot_ref[...] = jnp.full((1, B), -1.0, jnp.float32)
 
-    @pl.when(n_cand > 0)
-    def _():
-        dma(0, 0).start()
-        adma(0, 0).start()
+    for p in range(NBUF - 1):
+        @pl.when(n_cand > p)
+        def _(p=p):
+            dma(p, p).start()
+            adma(p, p).start()
 
     def cond(state):
         c, max_best, _nex = state
@@ -219,13 +224,14 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 
     def body(state):
         c, _, nex = state
-        slot = lax.rem(c, 2)
+        slot = lax.rem(c, NBUF)
         nxt = c + 1
+        pf = c + NBUF - 1  # prefetch NBUF-1 candidates ahead
 
-        @pl.when(nxt < n_cand)
+        @pl.when(pf < n_cand)
         def _():
-            dma(lax.rem(nxt, 2), nxt).start()
-            adma(lax.rem(nxt, 2), nxt).start()
+            dma(lax.rem(pf, NBUF), pf).start()
+            adma(lax.rem(pf, NBUF), pf).start()
 
         leaf = cand_at(c)
         adma(slot, c).wait()
@@ -304,12 +310,13 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
              jnp.asarray(0, jnp.int32))
     c_final, _, n_exec = lax.while_loop(cond, body, state)
 
-    # drain: an early exit leaves the prefetched next-leaf DMAs in flight;
-    # their semaphores must be consumed or they corrupt later grid steps
-    @pl.when(c_final < n_cand)
-    def _():
-        dma(lax.rem(c_final, 2), c_final).wait()
-        adma(lax.rem(c_final, 2), c_final).wait()
+    # drain: an early exit leaves the prefetched DMAs in flight; their
+    # semaphores must be consumed or they corrupt later grid steps
+    for p in range(NBUF - 1):
+        @pl.when(c_final + p < n_cand)
+        def _(p=p):
+            dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
+            adma(lax.rem(c_final + p, NBUF), c_final + p).wait()
 
     # rows 2/3: diagnostics — candidate iterations executed and matmul
     # visits actually run (tools/profile_visits.py)
@@ -365,10 +372,11 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
 
     best_ref[...] = t_max  # the surviving t bound; 0 = blocked/dead
 
-    @pl.when(n_cand > 0)
-    def _():
-        dma(0, 0).start()
-        adma(0, 0).start()
+    for p in range(NBUF - 1):
+        @pl.when(n_cand > p)
+        def _(p=p):
+            dma(p, p).start()
+            adma(p, p).start()
 
     def cond(state):
         c, max_bound = state
@@ -376,13 +384,14 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
 
     def body(state):
         c, _ = state
-        slot = lax.rem(c, 2)
+        slot = lax.rem(c, NBUF)
         nxt = c + 1
+        pf = c + NBUF - 1  # prefetch NBUF-1 candidates ahead
 
-        @pl.when(nxt < n_cand)
+        @pl.when(pf < n_cand)
         def _():
-            dma(lax.rem(nxt, 2), nxt).start()
-            adma(lax.rem(nxt, 2), nxt).start()
+            dma(lax.rem(pf, NBUF), pf).start()
+            adma(lax.rem(pf, NBUF), pf).start()
 
         leaf = cand_at(c)
         adma(slot, c).wait()
@@ -413,10 +422,11 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     state = (jnp.asarray(0, jnp.int32), jnp.max(t_max))
     c_final, _ = lax.while_loop(cond, body, state)
 
-    @pl.when(c_final < n_cand)
-    def _():
-        dma(lax.rem(c_final, 2), c_final).wait()
-        adma(lax.rem(c_final, 2), c_final).wait()
+    for p in range(NBUF - 1):
+        @pl.when(c_final + p < n_cand)
+        def _(p=p):
+            dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
+            adma(lax.rem(c_final + p, NBUF), c_final + p).wait()
 
     blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
     # row 2: candidate iterations executed (diagnostics, profile tools)
@@ -494,13 +504,13 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             out_specs=pl.BlockSpec((1, 4, block), lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2,) + leaf_feat.shape[1:], jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NBUF,) + leaf_feat.shape[1:], jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SMEM((8, c8), jnp.int32),
                 pltpu.SMEM((8, c8), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((2, 8, 128), jnp.float32),  # aabb double buffer
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((NBUF, 8, 128), jnp.float32),  # aabb ring
+                pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.VMEM((1, block), jnp.float32),  # best_ref
                 pltpu.VMEM((1, block), jnp.float32),  # slot_ref
             ],
