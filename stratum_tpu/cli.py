@@ -138,7 +138,12 @@ def main(argv=None) -> int:
     prev_time = (
         opts.get_float("prevTime", None) if opts.has("prevTime") else None
     )
-    scene, stats = sflatten.flatten(g.root, time=anim_time, prev_time=prev_time)
+    scene, stats = sflatten.flatten(
+        g.root, time=anim_time, prev_time=prev_time,
+        # reference: gEnvironmentSampleProbability (bdpt.h push constant) —
+        # the env-vs-area split of NEE light sampling
+        env_probability=opts.get_float("envProb", 0.5),
+    )
     lo = np.asarray(scene.geo.positions).min(axis=0)
     hi = np.asarray(scene.geo.positions).max(axis=0)
     t_flatten = time.time() - t0
