@@ -47,7 +47,9 @@ FEAT_ROWS = 16  # 10 Plucker rows zero-padded to the f32 sublane tile
 # enum on an f32 matmul to the slow full-f32 multi-pass path (HIGHEST, HIGH
 # and DEFAULT all measured ~identical), while precision=None lowers to a
 # single bf16 pass with f32 accumulation — ~4x faster per secondary wave.
-#   "fast" : 1-pass bf16 inputs (t recomputed in f32 for the winner)
+#   "fast" : 1-pass bf16 inputs (winner's t IS recomputed in f32 by the
+#            host epilogue, but hit/miss classification stays bf16 —
+#            5-8.5% wrong hits measured; kept only for ablation)
 #   "x3"   : manual bf16 hi/lo split, 3 passes — ~2^-21 relative, the
 #            classic f32-emulation middle ground
 #   "f32"  : explicit HIGHEST (6-pass) — the exact reference path
@@ -470,7 +472,16 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
                 mode="x3", packed_argmin=PACKED_ARGMIN, subs=1):
     nb, c_max = cand.shape
-    if leaf_feat.shape[-1] // 4 > (1 << _IDX_BITS):
+    if block % subs != 0:
+        raise ValueError(
+            f"block ({block}) must be a multiple of subs ({subs}); a "
+            "truncated sub-block would leave its tail lanes untested"
+        )
+    if (
+        kernel_name == "closest"
+        and packed_argmin
+        and leaf_feat.shape[-1] // 4 > (1 << _IDX_BITS)
+    ):
         raise ValueError(
             f"leaf_size {leaf_feat.shape[-1] // 4} exceeds the packed-argmin "
             f"index budget ({1 << _IDX_BITS}); rebuild the BVH with smaller "
@@ -616,13 +627,22 @@ def pallas_closest(
     a = jnp.zeros_like(best)
     u_num = jnp.zeros_like(best)
     v_num = jnp.zeros_like(best)
+    t_num = jnp.zeros_like(best)
     for f in range(10):
         a = a + rf[:, f] * flat[:, f * 4 + 0]
         u_num = u_num + rf[:, f] * flat[:, f * 4 + 1]
         v_num = v_num + rf[:, f] * flat[:, f * 4 + 2]
+        t_num = t_num + rf[:, f] * flat[:, f * 4 + 3]
     inv_a = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)
     bary = jnp.stack([u_num * inv_a, v_num * inv_a], axis=-1)
     bary = jnp.where(hit[:, None], bary, 0.0)
+    # exact f32 t of the winner: the in-kernel t is bf16-contracted (and
+    # packed-argmin clears its low mantissa bits); the winner's identity is
+    # exact, so recompute its t from the gathered feature row
+    t_exact = t_num * inv_a
+    best_t = jnp.where(
+        (tri >= 0) & (jnp.abs(a) > 1e-12), t_exact, best_t
+    )
     return HitRecord(t=best_t, tri=tri, bary=bary)
 
 

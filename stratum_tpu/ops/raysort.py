@@ -20,6 +20,7 @@ the 5D (origin, direction) key re-creates it.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,17 +97,19 @@ def sorted_trace_fns(closest, occluded, lo, hi, dir_bits: int = DIR_BITS):
             tm = jnp.full(o.shape[:1], T_MAX, jnp.float32)
         os_, ds_, ts_, inv = _order(o, d, tm)
         h = closest(os_, ds_, ts_)
+        # tri rides the packed float gather BITCAST, not value-cast: a
+        # float32 roundtrip would corrupt triangle ids >= 2^24
         packed = jnp.concatenate(
             [
                 h.t[:, None],
-                h.tri.astype(jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(h.tri, jnp.float32)[:, None],
                 h.bary,
             ],
             axis=-1,
         )[inv]  # ONE inverse gather for the whole record
         return HitRecord(
             t=packed[:, 0],
-            tri=packed[:, 1].astype(jnp.int32),
+            tri=jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32),
             bary=packed[:, 2:4],
         )
 
