@@ -47,13 +47,22 @@ FEAT_ROWS = 16  # 10 Plucker rows zero-padded to the f32 sublane tile
 # enum on an f32 matmul to the slow full-f32 multi-pass path (HIGHEST, HIGH
 # and DEFAULT all measured ~identical), while precision=None lowers to a
 # single bf16 pass with f32 accumulation — ~4x faster per secondary wave.
-#   "fast" : 1-pass bf16 inputs (winner's t IS recomputed in f32 by the
-#            host epilogue, but hit/miss classification stays bf16 —
-#            5-8.5% wrong hits measured; kept only for ablation)
+#   "c48"  : x3's three bf16 split products STACKED INTO THE CONTRACTION
+#            dim — slab bands [s_hi; s_lo; s_hi] x ray bands
+#            [r_hi; r_hi; r_lo], C=48, ONE pass. The MXU charges a full
+#            128-deep systolic pass for ANY contraction <= 128 (measured:
+#            per-sub-visit time == the padded-C theoretical matmul time),
+#            so the extra 32 rows are free and the emulation passes
+#            collapse 3 -> 1. Same three products as "x3", summed in the
+#            MXU's f32 accumulator instead of VPU adds (~2^-21 relative).
+#            Slab slabs are stored pre-split as bf16 [L, 32, 4K] — HALF
+#            the f32 DMA bytes; the third band is one in-kernel copy.
+#   "fast" : 1-pass bf16 inputs; t AND hit/miss classification stay bf16
+#            (5-8.5% wrong hits measured) — kept only for ablation
 #   "x3"   : manual bf16 hi/lo split, 3 passes — ~2^-21 relative, the
 #            classic f32-emulation middle ground
 #   "f32"  : explicit HIGHEST (6-pass) — the exact reference path
-MT_MODE = "x3"
+MT_MODE = "c48"
 # Select the per-ray argmin by packing the candidate index into the low bits
 # of the t float's bit pattern and taking ONE int min-reduction (positive
 # floats order as ints), instead of argmin + one-hot + sum. Perturbs t by
@@ -71,14 +80,28 @@ NBUF = 2
 SUBS = None
 
 
-def pack_leaf_features(fat) -> jnp.ndarray:
-    """FatBVH -> [L, 16, 4K] f32 DMA slabs: rows 0-9 = the Plucker feature
-    matrix (quantity-major columns [a(K) | u(K) | v(K) | t(K)]), rows 10-15
-    zero so a ray block can matmul the slab directly."""
+def pack_leaf_features(fat, mode: str | None = None) -> jnp.ndarray:
+    """FatBVH -> Pallas DMA slabs, layout per MT_MODE.
+
+    f32 modes: [L, 16, 4K] f32 — rows 0-9 = the Plucker feature matrix
+    (quantity-major columns [a(K) | u(K) | v(K) | t(K)]), rows 10-15 zero
+    so a ray block can matmul the slab directly.
+
+    "c48": [L, 32, 4K] bf16 — rows 0-15 = s_hi (bf16 round of the f32
+    features), rows 16-31 = s_lo (bf16 of the rounding residual). The
+    kernel appends a copy of s_hi as rows 32-47 so one C=48 matmul against
+    ray bands [r_hi; r_hi; r_lo] yields s_hi*r_hi + s_lo*r_hi + s_hi*r_lo.
+    """
+    mode = MT_MODE if mode is None else mode
     L, K = fat.leaf_tri.shape
     feat = jnp.transpose(fat.leaf_feat, (0, 2, 3, 1))  # [L, 10, 4, K]
     feat = feat.reshape(L, 10, 4 * K)
-    return jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
+    feat = jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
+    if mode != "c48":
+        return feat
+    s_hi = feat.astype(jnp.bfloat16)
+    s_lo = (feat - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([s_hi, s_lo], axis=1)  # [L, 32, 4K]
 
 
 def pack_leaf_aabbs(fat) -> jnp.ndarray:
@@ -132,9 +155,11 @@ def _pretest(geom, aabb_s, slot, row, best_row):
 
 
 def _mt_quants(rays, slab, k, mode="x3"):
-    """One [16,4K]^T x [16,B] MXU contraction -> sign-normalized MT
-    quantities [K, B] (no predicated reciprocal for the validity mask; the
-    division survives only for the ordering value). See MT_MODE."""
+    """One MXU contraction -> sign-normalized MT quantities [K, B] (no
+    predicated reciprocal for the validity mask; the division survives only
+    for the ordering value). See MT_MODE. For "c48" both operands arrive
+    pre-banded in bf16 ([48, *]) and a single C=48 pass computes all three
+    split products."""
     dims = (((0,), (0,)), ((), ()))
 
     def dot(a, b):
@@ -142,7 +167,9 @@ def _mt_quants(rays, slab, k, mode="x3"):
             a, b, dims, preferred_element_type=jnp.float32
         )
 
-    if mode == "auto":
+    if mode == "c48":
+        out = dot(slab, rays)  # [48,4K] x [48,B] bf16, f32 acc, one pass
+    elif mode == "auto":
         out = dot(slab, rays)  # f32 inputs, Mosaic picks the fast path
     elif mode == "fast":
         out = dot(slab.astype(jnp.bfloat16), rays.astype(jnp.bfloat16))
@@ -190,6 +217,13 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
     rays_mm = jnp.where(
         lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
     )
+    if mode == "c48":
+        # band the ray operand once per block: [r_hi; r_hi; r_lo] so one
+        # C=48 pass against the pre-split slab bands [s_hi; s_lo; s_hi]
+        # yields all three x3 split products in the MXU's f32 accumulator
+        r_hi = rays_mm.astype(jnp.bfloat16)
+        r_lo = (rays_mm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)  # [48, B]
     geom = geom_ref[0]  # [8, B]
     B = rays.shape[1]
     k4 = buf.shape[2]
@@ -210,6 +244,14 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         return pltpu.make_async_copy(
             aabb_hbm.at[cand_at(c) // 8], aabb_s.at[slot], asem.at[slot]
         )
+
+    def banded_slab(slot):
+        """Leaf slab as the matmul LHS; c48 appends the third band
+        ([s_hi; s_lo] -> [s_hi; s_lo; s_hi]) with one in-kernel copy."""
+        slab = buf[slot]
+        if mode == "c48":
+            slab = jnp.concatenate([slab, slab[0:FEAT_ROWS]], axis=0)
+        return slab
 
     best_ref[...] = t_max
     slot_ref[...] = jnp.full((1, B), -1.0, jnp.float32)
@@ -252,11 +294,12 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         for w_s in wants[1:]:
             want = want | w_s
         dma(slot, c).wait()  # started unconditionally: always consume
+        slab = banded_slab(slot)
 
         def commit(lo_c):
             best_row = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
             abs_a, stn, base_valid = _mt_quants(
-                rays_mm[:, lo_c : lo_c + sw], buf[slot], k, mode
+                rays_mm[:, lo_c : lo_c + sw], slab, k, mode
             )
             valid = base_valid & (stn < best_row * abs_a)
             # Mosaic has no general gather: select the per-ray winner
@@ -351,6 +394,10 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     rays_mm = jnp.where(
         lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
     )
+    if mode == "c48":
+        r_hi = rays_mm.astype(jnp.bfloat16)
+        r_lo = (rays_mm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)  # [48, B]
     geom = geom_ref[0]  # [8, B]
     B = rays.shape[1]
     k4 = buf.shape[2]
@@ -371,6 +418,12 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         return pltpu.make_async_copy(
             aabb_hbm.at[cand_at(c) // 8], aabb_s.at[slot], asem.at[slot]
         )
+
+    def banded_slab(slot):
+        slab = buf[slot]
+        if mode == "c48":
+            slab = jnp.concatenate([slab, slab[0:FEAT_ROWS]], axis=0)
+        return slab
 
     best_ref[...] = t_max  # the surviving t bound; 0 = blocked/dead
 
@@ -406,11 +459,12 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
             for s in range(subs)
         ]
         dma(slot, c).wait()
+        slab = banded_slab(slot)
 
         def commit(lo_c):
             bound = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
             abs_a, stn, base_valid = _mt_quants(
-                rays_mm[:, lo_c : lo_c + sw], buf[slot], k, mode
+                rays_mm[:, lo_c : lo_c + sw], slab, k, mode
             )
             valid = base_valid & (stn < bound * abs_a)
             blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, sw]
@@ -515,7 +569,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             out_specs=pl.BlockSpec((1, 4, block), lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((NBUF,) + leaf_feat.shape[1:], jnp.float32),
+                pltpu.VMEM((NBUF,) + leaf_feat.shape[1:], leaf_feat.dtype),
                 pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SMEM((8, c8), jnp.int32),
                 pltpu.SMEM((8, c8), jnp.float32),
@@ -627,22 +681,20 @@ def pallas_closest(
     a = jnp.zeros_like(best)
     u_num = jnp.zeros_like(best)
     v_num = jnp.zeros_like(best)
-    t_num = jnp.zeros_like(best)
     for f in range(10):
         a = a + rf[:, f] * flat[:, f * 4 + 0]
         u_num = u_num + rf[:, f] * flat[:, f * 4 + 1]
         v_num = v_num + rf[:, f] * flat[:, f * 4 + 2]
-        t_num = t_num + rf[:, f] * flat[:, f * 4 + 3]
     inv_a = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)
     bary = jnp.stack([u_num * inv_a, v_num * inv_a], axis=-1)
     bary = jnp.where(hit[:, None], bary, 0.0)
-    # exact f32 t of the winner: the in-kernel t is bf16-contracted (and
-    # packed-argmin clears its low mantissa bits); the winner's identity is
-    # exact, so recompute its t from the gathered feature row
-    t_exact = t_num * inv_a
-    best_t = jnp.where(
-        (tri >= 0) & (jnp.abs(a) > 1e-12), t_exact, best_t
-    )
+    # NOTE on t precision: the committed t carries the kernel's contraction
+    # precision (x3 split ~2^-21 relative; packed_argmin additionally clears
+    # the low _IDX_BITS mantissa bits, <= 2^-13 relative) — both far below
+    # the tracer's 1e-4 epsilon. Recomputing the winner's t exactly here
+    # (one extra t_num FMA chain off `flat`) was measured to cost ~190 ms
+    # per 2M-ray wave (XLA fusion regression: primary 111 -> 301 ms), so
+    # the kernel t is returned as-is.
     return HitRecord(t=best_t, tri=tri, bary=bary)
 
 

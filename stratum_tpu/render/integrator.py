@@ -99,6 +99,23 @@ class RenderConfig:
                               # the POOLED light-vertex cache (reference:
                               # connect_lvc, path.hlsli:682-822 +
                               # eLVC/eLVCReservoirs flags)
+    coherent_tiles: int = 0  # >0 (requires presample_lights): each
+                             # coherence granule of lanes draws its NEE
+                             # samples from ONE block-shared group of this
+                             # many consecutive tile rows, with the tile
+                             # sorted so consecutive rows are nearby
+                             # (env rows by direction, area rows by
+                             # position morton). Per-pixel estimator is
+                             # unchanged (every row still has pdf 1/T);
+                             # within a granule the shadow rays aim at <=
+                             # this many targets, so occlusion-wave blocks
+                             # get tight candidate sets. TPU analog of the
+                             # reference's wave-coherent tile sampling
+                             # (WaveReadLaneFirst, path.hlsli:316-318,
+                             # 378-387 under eCoherentSampling).
+    coherent_block: int = 2048  # lanes per coherence granule; matches the
+                                # Pallas tracer's ray-block size so one
+                                # granule == one trace block
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -420,6 +437,26 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             ],
             axis=-1,
         )  # [T, 16]
+        if cfg.coherent_tiles > 0:
+            # order tile rows so consecutive rows are spatially close:
+            # area rows by position morton, env rows (grouped last) by
+            # direction morton — a coherence group of consecutive rows is
+            # then a tight bundle of shadow-ray targets
+            if t_tile % cfg.coherent_tiles != 0:
+                raise ValueError(
+                    "presample_lights must be a multiple of coherent_tiles"
+                )
+            from stratum_tpu.ops.bvh import morton3
+
+            q_area = (tl.position - scene_lo) / jnp.maximum(
+                scene_hi - scene_lo, 1e-9
+            )
+            q_env = tl.position * 0.5 + 0.5  # unit direction -> [0,1]^3
+            q = jnp.where(tl.is_env[:, None], q_env, q_area)
+            key = morton3(jnp.clip(q, 0.0, 1.0)) | (
+                tl.is_env.astype(jnp.uint32) << jnp.uint32(31)
+            )
+            light_tile = light_tile[jnp.argsort(key)]
     else:
         light_tile = None
 
@@ -593,15 +630,59 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
         has_sphere_lights = scene.spheres.num_spheres > 0
 
+        if cfg.presample_lights > 0 and cfg.coherent_tiles > 0:
+            # block-shared tile group (re-drawn per bounce): every lane in
+            # a coherence granule indexes within the same `coherent_tiles`
+            # consecutive rows of the direction/position-sorted tile. Each
+            # row keeps probability (C/T)*(1/C) = 1/T, so the per-pixel
+            # estimator is untouched; only cross-lane correlation changes.
+            n_groups = cfg.presample_lights // cfg.coherent_tiles
+            blk_ids = (
+                jnp.arange(origin.shape[0], dtype=jnp.uint32)
+                // np.uint32(cfg.coherent_block)
+            )
+            gbits = srng.pcg4d(
+                jnp.stack(
+                    [
+                        blk_ids,
+                        jnp.broadcast_to(
+                            jnp.asarray(depth, jnp.uint32), blk_ids.shape
+                        ),
+                        jnp.broadcast_to(
+                            jnp.asarray(seed, jnp.uint32), blk_ids.shape
+                        ),
+                        jnp.full(blk_ids.shape, 0x1D1E5, jnp.uint32),
+                    ],
+                    axis=-1,
+                )
+            )[..., 0]
+            u_grp = srng._bits_to_float(gbits)
+            group_base = (
+                jnp.minimum(
+                    (u_grp * n_groups).astype(jnp.int32), n_groups - 1
+                )
+                * cfg.coherent_tiles
+            )
+        else:
+            group_base = None
+
         def sample_nee_light(u3):
             """One NEE light sample from nee_pos: env / area-triangle /
             sphere-light solid-angle cone (light.hlsli:58-121); with
             presampling on, one gather from the per-frame tile instead."""
             if cfg.presample_lights > 0:
-                idx = jnp.minimum(
-                    (u3[..., 0] * cfg.presample_lights).astype(jnp.int32),
-                    cfg.presample_lights - 1,
-                )
+                if group_base is not None:
+                    idx = group_base + jnp.minimum(
+                        (u3[..., 0] * cfg.coherent_tiles).astype(jnp.int32),
+                        cfg.coherent_tiles - 1,
+                    )
+                else:
+                    idx = jnp.minimum(
+                        (u3[..., 0] * cfg.presample_lights).astype(
+                            jnp.int32
+                        ),
+                        cfg.presample_lights - 1,
+                    )
                 row = light_tile[idx]  # the only gather
                 ls = slights.LightSampleRecord(
                     position=row[..., 0:3],

@@ -187,3 +187,30 @@ def test_presampled_lights_consistent(cornell):
     assert tiled.mean() == pytest.approx(base.mean(), rel=0.05), (
         tiled.mean(), base.mean()
     )
+
+
+def test_coherent_tiles_consistent(cornell):
+    """Block-coherent NEE tile groups (reference: eCoherentSampling wave
+    sampling, path.hlsli:316-318, 378-387) keep each tile row at pdf 1/T,
+    so the mean matches per-lane tile sampling; only cross-lane correlation
+    changes."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    spp = 64
+    base_cfg = integrator.RenderConfig(
+        32, 32, max_bounces=2, presample_lights=256
+    )
+    coh_cfg = integrator.RenderConfig(
+        32, 32, max_bounces=2, presample_lights=256,
+        coherent_tiles=16, coherent_block=128,
+    )
+    base = np.asarray(
+        integrator.render_path_progressive(scene, view, base_cfg, spp)
+    )
+    coh = np.asarray(
+        integrator.render_path_progressive(scene, view, coh_cfg, spp)
+    )
+    assert np.isfinite(coh).all()
+    assert coh.mean() == pytest.approx(base.mean(), rel=0.05), (
+        coh.mean(), base.mean()
+    )

@@ -120,6 +120,45 @@ def main():
     order = jnp.argsort(key)
     stats("shadow sorted (5bit) ", origin[order], wi[order], dist[order])
 
+    # block-coherent tile groups (integrator cfg.coherent_tiles): sort the
+    # tile by direction/position morton, then every 2048-lane block draws
+    # from ONE shared group of C consecutive rows
+    from stratum_tpu.ops.bvh import morton3
+
+    q_area = (tl.position - lo) / jnp.maximum(hi - lo, 1e-9)
+    q_env = tl.position * 0.5 + 0.5
+    qq = jnp.where(tl.is_env[:, None], q_env, q_area)
+    tkey = morton3(jnp.clip(qq, 0.0, 1.0)) | (
+        tl.is_env.astype(jnp.uint32) << jnp.uint32(31)
+    )
+    torder = jnp.argsort(tkey)
+    pos_s, env_s = tl.position[torder], tl.is_env[torder]
+    blk = jnp.arange(n, dtype=jnp.uint32) // np.uint32(2048)
+    gbits = srng.pcg4d(
+        jnp.stack(
+            [blk, jnp.zeros_like(blk), jnp.zeros_like(blk),
+             jnp.full_like(blk, 0x1D1E5)], axis=-1
+        )
+    )[..., 0]
+    u_grp = srng._bits_to_float(gbits)
+    for c_sz in (8, 16, 64):
+        n_groups = t_tile // c_sz
+        base = jnp.minimum(
+            (u_grp * n_groups).astype(jnp.int32), n_groups - 1
+        ) * c_sz
+        idx2 = base + jnp.minimum(
+            (uu[..., 0] * c_sz).astype(jnp.int32), c_sz - 1
+        )
+        l_pos2, l_env2 = pos_s[idx2], env_s[idx2]
+        to_l2 = jnp.where(l_env2[:, None], l_pos2, l_pos2 - origin)
+        dist2 = jnp.where(l_env2, T_MAX * 0.5, smath.length(to_l2))
+        wi2 = jnp.where(
+            l_env2[:, None], l_pos2,
+            to_l2 / jnp.maximum(dist2, 1e-20)[:, None],
+        )
+        dist2 = jnp.where(alive, dist2, 0.0)
+        stats(f"coherent C={c_sz:<4d}      ", origin, wi2, dist2)
+
     # split: area-light rays only vs env rays only
     area = alive & ~l_env
     env = alive & l_env
