@@ -91,3 +91,42 @@ def render_gbuffer(
         instance=instance.reshape(h, w),
         prev_uv=prev_uv.reshape(h, w, 2),
     )
+
+
+class PickResult(NamedTuple):
+    """Per-query first-hit data from pick() — the selection-readback analog
+    of the reference's pixel pick (Node/BDPT.cpp:360-371: VisibilityInfo
+    readback at the cursor -> selected node, + 823-835 gui wiring)."""
+
+    instance: jnp.ndarray  # i32 [Q] (-1 = miss)
+    prim: jnp.ndarray  # i32 [Q] triangle id, or T + sphere id (-1 = miss)
+    material: jnp.ndarray  # i32 [Q] material row (-1 = miss)
+    depth: jnp.ndarray  # f32 [Q] hit distance (inf = miss)
+    position: jnp.ndarray  # f32 [Q,3] world hit position (0 = miss)
+    uv: jnp.ndarray  # f32 [Q,2] surface uv
+    normal: jnp.ndarray  # f32 [Q,3] shading normal
+
+
+def pick(scene: SceneData, view, cfg: RenderConfig, px, py) -> PickResult:
+    """Query pixels (px, py) -> instance / primitive / depth by tracing
+    their center rays. ``px``/``py`` are int arrays (or scalars) in pixel
+    coordinates. Cheap: Q rays through the configured tracer."""
+    px = jnp.atleast_1d(jnp.asarray(px, jnp.uint32))
+    py = jnp.atleast_1d(jnp.asarray(py, jnp.uint32))
+    jitter = jnp.full((px.shape[0], 2), 0.5, jnp.float32)
+    origin, direction = scamera.generate_rays(
+        view, px, py, jitter, cfg.width, cfg.height
+    )
+    trace_closest, _ = _trace_fns(scene, cfg)
+    hit = trace_closest(origin, direction)
+    sp = make_shading_point(scene.geo, hit.tri, hit.bary, direction)
+    miss = ~hit.hit
+    return PickResult(
+        instance=jnp.where(miss, -1, sp.instance),
+        prim=jnp.where(miss, -1, hit.tri),
+        material=jnp.where(miss, -1, sp.material),
+        depth=jnp.where(miss, jnp.inf, hit.t),
+        position=jnp.where(miss[..., None], 0.0, sp.position),
+        uv=jnp.where(miss[..., None], 0.0, sp.uv),
+        normal=jnp.where(miss[..., None], 0.0, sp.shading_normal),
+    )

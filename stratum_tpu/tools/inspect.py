@@ -39,11 +39,39 @@ def main(argv=None) -> int:
     g = build_scene(opts)
     print("\n".join(_tree(g.root)))
 
-    if not opts.has("flatten"):
+    if not (opts.has("flatten") or opts.has("pick")):
         return 0
     from stratum_tpu.scene import flatten as sflatten
 
     scene, stats = sflatten.flatten(g.root)
+
+    if opts.has("pick"):
+        # --pick=x,y: pixel -> instance/prim/depth readback (reference:
+        # Inspector selection via VisibilityInfo pick, Node/BDPT.cpp:360-371)
+        from stratum_tpu.render import aov as saov
+        from stratum_tpu.render import camera as scamera
+        from stratum_tpu.render.integrator import RenderConfig
+
+        x, y = (int(v) for v in opts.get_str("pick").split(","))
+        width = opts.get_int("width", 512)
+        height = opts.get_int("height", 512)
+        node, cam = sflatten.find_camera(g.root)
+        view = scamera.make_view(node.to_world(), cam.fovy, width, height)
+        cfg = RenderConfig(width=width, height=height)
+        r = saov.pick(scene, view, cfg, x, y)
+        inst = int(r.instance[0])
+        names = stats.instance_names
+        pos = np.asarray(r.position[0])
+        print(
+            f"\npick ({x},{y}): instance={inst}"
+            + (f" ({names[inst]})" if 0 <= inst < len(names) else "")
+            + f" prim={int(r.prim[0])} material={int(r.material[0])}"
+            f" depth={float(r.depth[0]):.4f}"
+            f" pos=({pos[0]:.3f},{pos[1]:.3f},{pos[2]:.3f})"
+        )
+
+    if not opts.has("flatten"):
+        return 0
     print(
         f"\ninstances {stats.num_instances}  triangles {stats.num_triangles}"
         f"  vertices {stats.num_vertices}  materials {stats.num_materials}"
