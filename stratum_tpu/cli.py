@@ -218,7 +218,13 @@ def main(argv=None) -> int:
 
         gbuf = saov.render_gbuffer(scene, view, view, cfg)
         state = sdenoise.init_state(height, width)
-        state, img = sdenoise.denoise(state, img, gbuf)
+        dcfg = sdenoise.DenoiseConfig(
+            atrous_iterations=opts.get_int("atrousIters", 5),
+            filter_type=opts.get_str("filterType", "atrous"),
+            history_tap=opts.get_int("historyTap", 0),
+            debug_mode=opts.get_str("denoiserDebug", "none"),
+        )
+        state, img = sdenoise.denoise(state, img, gbuf, dcfg)
     img = np.asarray(img)
     t_render = time.time() - t0
 

@@ -37,6 +37,21 @@ class DenoiseConfig:
     sigma_depth: float = 1.0
     variance_boost: float = 8.0  # young-pixel variance boost
     demodulate_albedo: bool = True
+    filter_type: str = "atrous"  # a-trous tap pattern (reference:
+                                 # FilterKernelType, filter_type.h:8-16):
+                                 # "atrous" | "box3" | "box5" |
+                                 # "subsampled" | "box3_subsampled" |
+                                 # "box5_subsampled"
+    history_tap: int = 0  # >0: after a-trous iteration (history_tap-1),
+                          # write the filtered color back into the temporal
+                          # history so next frame accumulates on top of a
+                          # partially filtered image (reference: copy_rgb
+                          # history tap, atrous.hlsl:264-271 +
+                          # Denoiser.cpp:246-260)
+    debug_mode: str = "none"  # denoiser debug view (reference:
+                              # DenoiserDebugMode, denoiser.h:10-16):
+                              # "none" | "sample_count" | "variance" |
+                              # "weight_sum"
 
 
 class DenoiseState(NamedTuple):
@@ -70,10 +85,12 @@ def _tap(img, yi, xi):
 
 
 def temporal_accumulate(
-    state: DenoiseState, radiance, gbuf: GBuffer, cfg: DenoiseConfig
+    state: DenoiseState, radiance, gbuf: GBuffer, cfg: DenoiseConfig,
+    with_aux: bool = False,
 ):
     """Reproject history and blend (temporal_accumulation.hlsl). Returns
-    (new_state, integrated_color, variance)."""
+    (new_state, integrated_color, variance); with ``with_aux`` also a dict
+    of debug quantities (reprojection weight sum, history length)."""
     h, w = radiance.shape[:2]
     color_in = radiance
     if cfg.demodulate_albedo:
@@ -149,6 +166,10 @@ def temporal_accumulate(
         depth=gbuf.depth,
         instance=gbuf.instance,
     )
+    if with_aux:
+        return new_state, color, variance, {
+            "weight_sum": acc_w, "history": n,
+        }
     return new_state, color, variance
 
 
@@ -187,16 +208,58 @@ def estimate_variance(moments, history, lum, cfg: DenoiseConfig):
 _ATROUS_W = np.asarray([1.0, 2.0 / 3.0, 1.0 / 6.0], np.float32)  # B3 spline
 
 
+def _filter_taps(filter_type: str, it: int):
+    """(dy, dx, kernel weight) taps for one filter iteration, center
+    included (reference tap generators: atrous.hlsl:121-207 + the
+    box-then-subsampled composites switched in main, atrous.hlsl:232-249).
+    ``subsampled`` alternates its 2-step axis by iteration parity."""
+    if filter_type == "atrous":
+        return [
+            (dy, dx, float(_ATROUS_W[abs(dy)] * _ATROUS_W[abs(dx)]))
+            for dy in range(-2, 3)
+            for dx in range(-2, 3)
+        ]
+    if filter_type == "box3":
+        return [(dy, dx, 1.0) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    if filter_type == "box5":
+        return [(dy, dx, 1.0) for dy in range(-2, 3) for dx in range(-2, 3)]
+    if filter_type == "subsampled":
+        taps = [
+            (0, 0, 1.0),
+            (-1, 1, 1.0), (1, 1, 1.0), (-1, -1, 1.0), (1, -1, 1.0),
+        ]
+        if it % 2 == 0:
+            taps += [(0, -2, 1.0), (0, 2, 1.0)]
+        else:
+            taps += [(-2, 0, 1.0), (2, 0, 1.0)]
+        return taps
+    if filter_type == "box3_subsampled":
+        return _filter_taps("box3" if it == 0 else "subsampled", it)
+    if filter_type == "box5_subsampled":
+        return _filter_taps("box5" if it == 0 else "subsampled", it)
+    raise ValueError(f"unknown filter_type {filter_type!r}")
+
+
 def atrous_filter(color, variance, gbuf: GBuffer, cfg: DenoiseConfig):
-    """Edge-aware a-trous iterations (atrous.hlsl:63-207). Returns filtered
-    color (still demodulated if cfg.demodulate_albedo)."""
+    """Edge-aware a-trous iterations (atrous.hlsl:63-207). Returns
+    (filtered color, history-tap color): the tap is the output of iteration
+    cfg.history_tap-1 (None when disabled), which denoise() writes back
+    into the temporal history (reference: copy_rgb, atrous.hlsl:264-271).
+    Color stays demodulated if cfg.demodulate_albedo."""
     normal = gbuf.normal
-    depth = gbuf.depth
+    # only foreground pixels are filtered (reference: the isinf(z_center)
+    # gate, atrous.hlsl:231); background depth is clamped to a finite
+    # sentinel so inf-inf never reaches the weights, and the final color at
+    # background pixels is restored from the input
+    foreground = jnp.isfinite(gbuf.depth)
+    depth = jnp.where(foreground, gbuf.depth, 3.0e37)
+    input_color = color
     # depth gradient magnitude for the depth edge weight
     dzdx = jnp.abs(_shift(depth[..., None], 0, 1)[..., 0] - depth)
     dzdy = jnp.abs(_shift(depth[..., None], 1, 0)[..., 0] - depth)
     dz = jnp.maximum(dzdx, dzdy) + 1e-4
 
+    tap_color = None
     for it in range(cfg.atrous_iterations):
         step = 1 << it
         # 3x3-gaussian-prefiltered variance for the luminance sigma
@@ -213,37 +276,61 @@ def atrous_filter(color, variance, gbuf: GBuffer, cfg: DenoiseConfig):
         acc = jnp.zeros_like(color)
         acc_v = jnp.zeros_like(variance)
         wsum = jnp.zeros_like(variance)
-        for dy in (-2, -1, 0, 1, 2):
-            for dx in (-2, -1, 0, 1, 2):
-                kw = _ATROUS_W[abs(dy)] * _ATROUS_W[abs(dx)]
-                oy, ox = dy * step, dx * step
-                c_n = _shift(color, oy, ox)
-                v_n = _shift(variance[..., None], oy, ox)[..., 0]
-                n_n = _shift(normal, oy, ox)
-                z_n = _shift(depth[..., None], oy, ox)[..., 0]
-                l_n = smath.luminance(c_n)
-                w_l = jnp.exp(-jnp.abs(l_n - lum_c) / sigma_l)
-                w_n = jnp.maximum(smath.dot(n_n, normal), 0.0) ** cfg.sigma_normal
-                w_z = jnp.exp(
-                    -jnp.abs(z_n - depth)
-                    / (cfg.sigma_depth * dz * (abs(dy) + abs(dx) + 1e-3) * step + 1e-6)
-                )
-                wgt = kw * w_l * w_n * w_z
-                acc += c_n * wgt[..., None]
-                acc_v += v_n * wgt * wgt
-                wsum += wgt
+        for dy, dx, kw in _filter_taps(cfg.filter_type, it):
+            oy, ox = dy * step, dx * step
+            c_n = _shift(color, oy, ox)
+            v_n = _shift(variance[..., None], oy, ox)[..., 0]
+            n_n = _shift(normal, oy, ox)
+            z_n = _shift(depth[..., None], oy, ox)[..., 0]
+            l_n = smath.luminance(c_n)
+            w_l = jnp.exp(-jnp.abs(l_n - lum_c) / sigma_l)
+            w_n = jnp.maximum(smath.dot(n_n, normal), 0.0) ** cfg.sigma_normal
+            w_z = jnp.exp(
+                -jnp.abs(z_n - depth)
+                / (cfg.sigma_depth * dz * (abs(dy) + abs(dx) + 1e-3) * step + 1e-6)
+            )
+            wgt = kw * w_l * w_n * w_z
+            acc += c_n * wgt[..., None]
+            acc_v += v_n * wgt * wgt
+            wsum += wgt
         color = acc / jnp.maximum(wsum, 1e-6)[..., None]
+        color = jnp.where(foreground[..., None], color, input_color)
         variance = acc_v / jnp.maximum(wsum * wsum, 1e-6)
-    return color
+        if it + 1 == cfg.history_tap:
+            tap_color = color
+    return color, tap_color
 
 
 def denoise(
     state: DenoiseState, radiance, gbuf: GBuffer, cfg: DenoiseConfig | None = None
 ):
-    """Full SVGF pass. Returns (new_state, denoised_radiance)."""
+    """Full SVGF pass. Returns (new_state, denoised_radiance). With
+    cfg.debug_mode != "none" the second output is the debug visualization
+    instead (reference: Denoiser.cpp:273 returns mDebugImage)."""
     cfg = cfg or DenoiseConfig()
-    new_state, color, variance = temporal_accumulate(state, radiance, gbuf, cfg)
-    filtered = atrous_filter(color, variance, gbuf, cfg)
+    new_state, color, variance, aux = temporal_accumulate(
+        state, radiance, gbuf, cfg, with_aux=True
+    )
+    filtered, tap_color = atrous_filter(color, variance, gbuf, cfg)
+    if tap_color is not None:
+        # copy_rgb history tap (atrous.hlsl:264-271): next frame's temporal
+        # history starts from the partially filtered color; moments/history
+        # count stay untouched (the reference keeps AccumColor.w)
+        new_state = new_state._replace(color=tap_color)
     if cfg.demodulate_albedo:
         filtered = filtered * jnp.maximum(gbuf.albedo, 1e-3)
+    if cfg.debug_mode != "none":
+        # DenoiserDebugMode (denoiser.h:10-16; written in
+        # temporal_accumulation.hlsl:133-146)
+        if cfg.debug_mode == "sample_count":
+            dbg = smath.viridis(
+                jnp.clip(aux["history"] / max(cfg.history_limit, 1.0), 0, 1)
+            )
+        elif cfg.debug_mode == "variance":
+            dbg = smath.viridis(jnp.clip(variance, 0.0, 1.0))
+        elif cfg.debug_mode == "weight_sum":
+            dbg = smath.viridis(jnp.clip(aux["weight_sum"], 0.0, 1.0))
+        else:
+            raise ValueError(f"unknown debug_mode {cfg.debug_mode!r}")
+        return new_state, dbg
     return new_state, filtered
