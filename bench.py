@@ -74,9 +74,13 @@ def main() -> int:
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
     # sort_rays (default True) sorts CLOSEST waves only: measured 1987
     # (closest-only) / 2085 (none) / 2406 (closest+shadow) ms/spp
+    # coherent_tiles=16: block-shared NEE tile groups (reference:
+    # eCoherentSampling) — measured 2.4x on the deferred shadow wave
+    # (cand/blk 71 -> 8.6, tools/profile_shadow.py)
     cfg = integrator.RenderConfig(
         width=width, height=height, max_bounces=4, bsdf="disney",
         presample_lights=4096,
+        coherent_tiles=opts.get_int("coherent", 16),
     )
     mrays_atrium, spp_s = _measure_e2e(scene, view, cfg, spp, integrator)
     results["atrium_e2e"] = round(mrays_atrium, 3)
