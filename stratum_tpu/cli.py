@@ -65,6 +65,10 @@ def build_scene(opts):
         from stratum_tpu.scene.loaders.stl import load_stl
 
         load_stl(g.root, path)
+    elif ext == ".fbx":
+        from stratum_tpu.scene.loaders.fbx import load_fbx
+
+        load_fbx(g.root, path)
     else:
         raise ValueError(f"unsupported scene extension {ext!r}")
     return g

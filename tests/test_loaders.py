@@ -268,3 +268,63 @@ def test_nvdb_empty_grid(tmp_path):
     write_nvdb_grid(p, np.zeros((8, 8, 8), np.float32), (0, 0, 0), (1, 1, 1))
     out, lo, hi = load_nvdb_grid(p)
     assert float(np.max(out)) == 0.0
+
+
+def test_fbx_roundtrip(tmp_path):
+    """Binary FBX write/load: geometry, per-vertex normals/uvs, material
+    color, euler transform (reference: assimp FBX ingestion,
+    load_assimp.cpp:14-41)."""
+    from stratum_tpu.scene.graph import MeshPrimitive
+    from stratum_tpu.scene.loaders.fbx import load_fbx, write_fbx
+
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    nrm = np.tile([[0.0, 0.0, 1.0]], (4, 1)).astype(np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    p = tmp_path / "quad.fbx"
+    write_fbx(p, [dict(
+        name="quad", positions=pos, indices=idx, normals=nrm, uvs=uv,
+        translation=(2.0, 3.0, 4.0), rotation_deg=(0.0, 90.0, 0.0),
+        diffuse=(0.2, 0.4, 0.6), emissive=(1.0, 2.0, 3.0),
+    )])
+    g = NodeGraph()
+    root = load_fbx(g.root, p)
+    meshes = [
+        (n, n.find(MeshPrimitive))
+        for n in root.descendants() if n.find(MeshPrimitive)
+    ]
+    assert len(meshes) == 1
+    node, mp = meshes[0]
+    np.testing.assert_allclose(mp.positions, pos)
+    np.testing.assert_array_equal(mp.indices, idx)
+    np.testing.assert_allclose(mp.normals, nrm)
+    np.testing.assert_allclose(mp.uvs, uv, atol=1e-6)
+    np.testing.assert_allclose(mp.material.base_color, [0.2, 0.4, 0.6],
+                               rtol=1e-5)
+    np.testing.assert_allclose(mp.material.emission, [1.0, 2.0, 3.0],
+                               rtol=1e-5)
+    # Lcl Rotation (0,90,0) + translation (2,3,4)
+    w = node.parent.to_world()
+    np.testing.assert_allclose(w[:, 3], [2.0, 3.0, 4.0], atol=1e-6)
+    np.testing.assert_allclose(w[:, 0], [0.0, 0.0, -1.0], atol=1e-6)
+
+
+def test_fbx_polygon_fan_and_slots(tmp_path):
+    """Quads fan-triangulate; ByPolygon material slots split primitives."""
+    from stratum_tpu.scene.graph import MeshPrimitive
+    from stratum_tpu.scene.loaders.fbx import (
+        FbxNode, _triangulate, load_fbx, write_fbx,
+    )
+
+    # hand-build a Geometry record with one quad polygon
+    verts = np.arange(12, dtype=np.float64)
+    pvi = np.array([0, 1, 2, ~np.int64(3)], np.int64)
+    geo = FbxNode("Geometry", [1, "g", "Mesh"], [
+        FbxNode("Vertices", [verts], []),
+        FbxNode("PolygonVertexIndex", [pvi], []),
+    ])
+    pos, idx, nrm, uv, slot = _triangulate(geo)
+    assert idx.tolist() == [[0, 1, 2], [0, 2, 3]]
+    assert (slot == 0).all()
