@@ -159,3 +159,83 @@ def render_path_progressive_sharded(scene, view, cfg, spp: int, mesh, seed0=0):
     for s in range(spp):
         acc = acc + _render_sharded_jit(scene, view, cfg, seed0 + s, mesh)
     return acc / spp
+
+
+def render_gbuffer_sharded(scene, view, prev_view, cfg, mesh: Mesh):
+    """First-hit G-buffer with pixel tiles sharded over ``mesh``; returns
+    image-shaped buffers whose rows live on the owning devices."""
+    from stratum_tpu.render import aov as saov
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if (cfg.width * cfg.height) % n_dev:
+        raise ValueError(
+            f"{cfg.width}x{cfg.height} pixels not divisible by {n_dev}"
+        )
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            jax.tree.map(lambda _: P(), prev_view),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def tile_gbuf(scene_rep, view_rep, prev_rep, px_tile, py_tile):
+        return saov.gbuffer_flat(
+            scene_rep, view_rep, prev_rep, cfg, px_tile, py_tile
+        )
+
+    flat = tile_gbuf(scene, view, prev_view, px, py)
+    h, w = cfg.height, cfg.width
+    return saov.GBuffer(
+        albedo=flat.albedo.reshape(h, w, 3),
+        normal=flat.normal.reshape(h, w, 3),
+        depth=flat.depth.reshape(h, w),
+        instance=flat.instance.reshape(h, w),
+        prev_uv=flat.prev_uv.reshape(h, w, 2),
+    )
+
+
+def denoise_sharded(state, radiance, gbuf, dcfg, mesh: Mesh):
+    """SVGF with image rows sharded over ``mesh``: inputs are device_put
+    row-sharded and the filter runs under jit — GSPMD partitions the dense
+    image math and inserts halo exchanges for the shifted taps (the
+    reference's single-GPU dispatch has no analog; this is the TPU way to
+    keep the whole frame pipeline on-device)."""
+    from jax.sharding import NamedSharding
+    from stratum_tpu.render import denoise as sdenoise
+
+    axis = mesh.axis_names[0]
+    row = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, row)
+
+    state = jax.tree.map(put, state)
+    gbuf = jax.tree.map(put, gbuf)
+    radiance = put(radiance)
+    return _denoise_jit(state, radiance, gbuf, dcfg)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _denoise_jit(state, radiance, gbuf, dcfg):
+    from stratum_tpu.render import denoise as sdenoise
+
+    return sdenoise.denoise(state, radiance, gbuf, dcfg)
+
+
+def session_frame_sharded(
+    scene, view, prev_view, cfg, dcfg, dstate, seed, mesh: Mesh
+):
+    """One full interactive-style frame — render + G-buffer + SVGF — with
+    every stage sharded over ``mesh``. Returns (new_denoise_state, image)."""
+    rad = _render_sharded_jit(scene, view, cfg, seed, mesh)
+    gbuf = render_gbuffer_sharded(scene, view, prev_view, cfg, mesh)
+    return denoise_sharded(dstate, rad, gbuf, dcfg, mesh)

@@ -44,6 +44,22 @@ def render_gbuffer(
     """Trace pixel centers once and build the G-buffer. Uses pixel centers
     (no jitter) so the buffers are stable across frames."""
     px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    flat = gbuffer_flat(scene, view, prev_view, cfg, px, py)
+    h, w = cfg.height, cfg.width
+    return GBuffer(
+        albedo=flat.albedo.reshape(h, w, 3),
+        normal=flat.normal.reshape(h, w, 3),
+        depth=flat.depth.reshape(h, w),
+        instance=flat.instance.reshape(h, w),
+        prev_uv=flat.prev_uv.reshape(h, w, 2),
+    )
+
+
+def gbuffer_flat(
+    scene: SceneData, view, prev_view, cfg: RenderConfig, px, py
+) -> GBuffer:
+    """Per-pixel G-buffer rows for arbitrary pixel coords (flat [N, ...])
+    — the shard_map-able core (parallel/mesh.py shards px/py tiles)."""
     jitter = jnp.full((px.shape[0], 2), 0.5, jnp.float32)
     origin, direction = scamera.generate_rays(
         view, px, py, jitter, cfg.width, cfg.height
@@ -56,7 +72,6 @@ def render_gbuffer(
         mat = apply_textures(
             mat, scene.materials, scene.textures, sp.material, sp.uv
         )
-    h, w = cfg.height, cfg.width
     miss = ~hit.hit
     # emissive surfaces demodulate by 1 — their radiance is emission, not
     # albedo-modulated reflection (the reference's demodulate-albedo option
@@ -85,11 +100,11 @@ def render_gbuffer(
         pix / jnp.asarray([cfg.width, cfg.height], jnp.float32),
     )
     return GBuffer(
-        albedo=albedo.reshape(h, w, 3),
-        normal=normal.reshape(h, w, 3),
-        depth=depth.reshape(h, w),
-        instance=instance.reshape(h, w),
-        prev_uv=prev_uv.reshape(h, w, 2),
+        albedo=albedo,
+        normal=normal,
+        depth=depth,
+        instance=instance,
+        prev_uv=prev_uv,
     )
 
 

@@ -637,21 +637,24 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             # row keeps probability (C/T)*(1/C) = 1/T, so the per-pixel
             # estimator is untouched; only cross-lane correlation changes.
             n_groups = cfg.presample_lights // cfg.coherent_tiles
-            blk_ids = (
+            # key each granule by its FIRST lane's absolute pixel coords
+            # (not the local lane index): a sharded caller whose per-device
+            # tile is a multiple of coherent_block then draws identical
+            # groups, keeping sharded == single bit-exact
+            first = (
                 jnp.arange(origin.shape[0], dtype=jnp.uint32)
                 // np.uint32(cfg.coherent_block)
-            )
+            ) * np.uint32(cfg.coherent_block)
             gbits = srng.pcg4d(
                 jnp.stack(
                     [
-                        blk_ids,
+                        px[first].astype(jnp.uint32),
+                        py[first].astype(jnp.uint32),
                         jnp.broadcast_to(
-                            jnp.asarray(depth, jnp.uint32), blk_ids.shape
+                            jnp.asarray(depth + seed * 131, jnp.uint32),
+                            first.shape,
                         ),
-                        jnp.broadcast_to(
-                            jnp.asarray(seed, jnp.uint32), blk_ids.shape
-                        ),
-                        jnp.full(blk_ids.shape, 0x1D1E5, jnp.uint32),
+                        jnp.full(first.shape, 0x1D1E5, jnp.uint32),
                     ],
                     axis=-1,
                 )

@@ -93,9 +93,17 @@ class RenderSession:
     # -- stepping ----------------------------------------------------------
     def gbuffer(self) -> saov.GBuffer:
         if self._gbuffer is None:
-            self._gbuffer = saov.render_gbuffer(
-                self.scene, self.view, self.prev_view, self.cfg
-            )
+            if self.mesh is not None:
+                from stratum_tpu.parallel import mesh as pmesh
+
+                self._gbuffer = pmesh.render_gbuffer_sharded(
+                    self.scene, self.view, self.prev_view, self.cfg,
+                    self.mesh,
+                )
+            else:
+                self._gbuffer = saov.render_gbuffer(
+                    self.scene, self.view, self.prev_view, self.cfg
+                )
         return self._gbuffer
 
     def step(self, samples: int = 1):
@@ -142,10 +150,18 @@ class RenderSession:
         SVGF. Returns the displayable radiance."""
         img = self.step(1)
         if self.denoise:
-            self.denoise_state, img = sdenoise.denoise(
-                self.denoise_state, self.radiance(), self.gbuffer(),
-                self.denoise_cfg,
-            )
+            if self.mesh is not None:
+                from stratum_tpu.parallel import mesh as pmesh
+
+                self.denoise_state, img = pmesh.denoise_sharded(
+                    self.denoise_state, self.radiance(), self.gbuffer(),
+                    self.denoise_cfg, self.mesh,
+                )
+            else:
+                self.denoise_state, img = sdenoise.denoise(
+                    self.denoise_state, self.radiance(), self.gbuffer(),
+                    self.denoise_cfg,
+                )
         return img
 
     def tonemapped(self, mode=stonemap.TonemapMode.ACES, exposure=0.0):
