@@ -113,6 +113,24 @@ def main() -> int:
             n / ((time.time() - t0) / 3) / 1e6, 2
         )
 
+    # --- config 4: textured asset through the file loaders -----------------
+    # colonnade: 110K tris, OBJ+MTL+PNG textures + HDR sun/sky env map,
+    # loaded via scene/loaders/obj.py + io/image.py (VERDICT r2: prove the
+    # pipeline on an asset that goes through the real ingestion path, and
+    # stop tuning kernel constants on one scene)
+    if not on_cpu:
+        from stratum_tpu.scene import sample_assets
+
+        g4, _info = sample_assets.load_colonnade(
+            "/tmp/stratum_colonnade_bench"
+        )
+        scene4, _ = flatten.flatten(g4.root)
+        node4, cam4 = flatten.find_camera(g4.root)
+        view4 = camera.make_view(node4.to_world(), cam4.fovy, width, height)
+        mrays_col, col_ms = _measure_e2e(scene4, view4, cfg, spp, integrator)
+        results["colonnade_e2e"] = round(mrays_col, 3)
+        results["colonnade_ms_per_spp"] = round(col_ms * 1e3, 1)
+
     # --- config 1/3: Cornell (MXU dense path) ------------------------------
     g2 = builtin.cornell_box()
     scene2, _ = flatten.flatten(g2.root)
@@ -130,6 +148,7 @@ def main() -> int:
             f"end-to-end path tracing, atrium 133K tris {width}x{height} "
             f"{spp}spp 4 bounces NEE+MIS+RR disney (pallas BVH tracer); "
             f"cornell_e2e={results['cornell_e2e']} "
+            f"colonnade_e2e={results.get('colonnade_e2e')} "
             f"primary_traversal={results.get('atrium_primary_traversal')} "
             f"atrium_ms_per_spp={results['atrium_ms_per_spp']}"
         ),

@@ -132,6 +132,18 @@ def main(argv=None) -> int:
         from stratum_tpu.scene.loaders.volumes import load_volume
 
         load_volume(g.root, vol, density_scale=opts.get_float("densityScale", 1.0))
+    if opts.has("envmap"):
+        # equirect HDR/EXR/PFM environment light (reference: Environment
+        # material + importance tables, Shaders/environment.h:48-93)
+        from stratum_tpu.io.image import load_image
+        from stratum_tpu.scene.graph import EnvironmentComponent
+
+        g.root.add_child("envmap").make_component(
+            EnvironmentComponent(
+                color=np.full(3, opts.get_float("envScale", 1.0), np.float32),
+                image=load_image(opts.get_str("envmap"), srgb=None)[..., :3],
+            )
+        )
     for plug in opts.find_all("plugin"):
         import importlib
 
@@ -199,7 +211,12 @@ def main(argv=None) -> int:
     elif integrator_name == "bdpt":
         from stratum_tpu.render import bdpt as sbdpt
 
-        img = sbdpt.render_bdpt_progressive(scene, view, cfg, spp, seed)
+        img = sbdpt.render_bdpt_progressive(
+            scene, view, cfg, spp, seed,
+            chunks=(
+                opts.get_int("bdptChunks", 0) or None
+            ),  # default: auto from CHUNK_PIXELS
+        )
     elif integrator_name == "restir":
         # ReSTIR DI (reservoirs persist across the spp frames) composed
         # with indirect-only progressive PT (render/session.py does the

@@ -841,8 +841,60 @@ def render_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     return img + splat.reshape(cfg.height, cfg.width, 3)
 
 
-def render_bdpt_progressive(scene, view, cfg: RenderConfig, spp: int, seed0=0):
+# pixels per chunk before the [N, depth] subpath arrays (~1 KB/pixel with
+# connection temporaries) threaten a 16G chip; 1080p runs as 4 chunks
+CHUNK_PIXELS = 1 << 19
+
+
+@partial(jax.jit, static_argnums=(2, 7))
+def _trace_bdpt_chunk(scene, view, cfg, seed, px, py, lane0, total):
+    return trace_bdpt(
+        scene, view, cfg, seed, px, py, lane0=lane0, num_light_paths=total
+    )
+
+
+def render_bdpt_chunked(
+    scene: SceneData, view, cfg: RenderConfig, seed, chunks: int | None = None
+):
+    """BDPT with the pixel domain processed in chunks so the per-pixel
+    subpath vertex arrays are [chunk, depth] instead of [num_pix, depth] —
+    the memory-scaling answer to the reference's in-kernel 64B PathVertex
+    streaming (Shaders/bdpt.h:107-156): 1080p BDPT(+LVC) fits a 16G chip
+    (unchunked OOMs past ~500K pixels, STATUS r2). Each chunk traces its
+    own slice of the light-path budget (globally unique RNG streams via
+    lane0) and splats into the shared image; t=1 contributions normalize
+    by the TOTAL light-path count, so the summed splat equals the
+    unchunked estimator. With LVC, reservoirs resample within the chunk's
+    pool — a pool-size (variance) change only, never a bias change."""
+    num_pix = cfg.width * cfg.height
+    if chunks is None:
+        chunks = max(1, -(-num_pix // CHUNK_PIXELS))
+    if num_pix % chunks:
+        raise ValueError(f"{num_pix} pixels not divisible by {chunks} chunks")
+    per = num_pix // chunks
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    img = jnp.zeros((num_pix, 3), jnp.float32)
+    splat = jnp.zeros((num_pix, 3), jnp.float32)
+    for c in range(chunks):
+        sl = slice(c * per, (c + 1) * per)
+        rad_c, splat_c = _trace_bdpt_chunk(
+            scene, view, cfg, seed, px[sl], py[sl],
+            jnp.asarray(c * per, jnp.uint32), num_pix,
+        )
+        img = img.at[sl].set(rad_c)
+        splat = splat + splat_c
+    return (img + splat).reshape(cfg.height, cfg.width, 3)
+
+
+def render_bdpt_progressive(
+    scene, view, cfg: RenderConfig, spp: int, seed0=0, chunks: int | None = None
+):
     acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    num_pix = cfg.width * cfg.height
+    auto = chunks if chunks is not None else -(-num_pix // CHUNK_PIXELS)
     for s in range(spp):
-        acc = acc + render_bdpt(scene, view, cfg, seed0 + s)
+        if auto > 1:
+            acc = acc + render_bdpt_chunked(scene, view, cfg, seed0 + s, auto)
+        else:
+            acc = acc + render_bdpt(scene, view, cfg, seed0 + s)
     return acc / spp

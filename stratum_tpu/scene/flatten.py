@@ -390,12 +390,15 @@ def flatten(root: Node, env_probability: float = 0.5,
         geo.positions, geo.indices, geo.tri_material >= 0
     )
     # prefer the native SAH builder (tighter leaves); fall back to Morton.
-    # leaf_size 256 measured best for the Pallas traversal kernel (fewer
-    # sequential leaf visits; the MXU eats the bigger per-visit matmul)
-    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=256)
+    # leaf_size 1024 measured best END-TO-END for the c48 Pallas kernel
+    # (atrium e2e 1215/1156/1116 ms/spp at K=256/512/1024): fewer leaves
+    # make the per-wave candidate entries pass ~3.5x cheaper, outweighing
+    # the slightly slower isolated closest wave (260 vs 215 ms at 2M rays).
+    # 1024 == the packed-argmin index budget (pallas_trace._IDX_BITS)
+    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=1024)
     if fat_bvh is None:
         fat_bvh = build_fat_bvh(
-            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=256
+            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=1024
         )
     from stratum_tpu.render.medium import build_media
     from stratum_tpu.ops.pallas_trace import pack_leaf_features

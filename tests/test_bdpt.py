@@ -161,3 +161,23 @@ def test_lvc_matches_paired(cornell_empty):
     assert lvc.mean() == pytest.approx(paired.mean(), rel=0.06), (
         lvc.mean(), paired.mean()
     )
+
+
+def test_bdpt_chunked_matches_unchunked():
+    """Chunked subpath storage (render_bdpt_chunked) reproduces the
+    unchunked estimator: camera streams are pixel-keyed and light streams
+    are global-lane-keyed, so every sampling decision is identical; only
+    splat-accumulation order may reassociate."""
+    g = builtin.cornell_box()
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    w, h = 32, 16
+    view = camera.make_view(node.to_world(), cam.fovy, w, h)
+    cfg = integrator.RenderConfig(width=w, height=h, max_bounces=2)
+    full = np.asarray(bdpt.render_bdpt(scene, view, cfg, 3))
+    chunked = np.asarray(bdpt.render_bdpt_chunked(scene, view, cfg, 3, 4))
+    np.testing.assert_allclose(chunked, full, rtol=1e-4, atol=1e-6)
+    a = full.reshape(-1, 3)
+    b = chunked.reshape(-1, 3)
+    frac_exact = (a == b).all(axis=-1).mean()
+    assert frac_exact > 0.9, frac_exact

@@ -11,7 +11,11 @@ from stratum_tpu.utils import compare
 from tests.update_goldens import GOLDEN, configs, render
 
 
-@pytest.mark.parametrize("name", ["cornell_path", "cornell_disney", "spheres_disney"])
+@pytest.mark.parametrize(
+    "name",
+    ["cornell_path", "cornell_disney", "spheres_disney",
+     "colonnade_textured"],
+)
 def test_golden(name):
     path = GOLDEN / f"{name}.npy"
     if not path.exists():
