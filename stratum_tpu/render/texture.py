@@ -5,14 +5,17 @@ The reference binds up to 4096 arbitrary-size images (scene.h:26
 hardware filtering + ray-cone mip LOD (image_value.h:81-97). Neither
 arbitrary shapes nor sampler hardware exist on TPU, so:
 
-- at flatten time every referenced image is area-resampled into a fixed
-  ``R x R`` RGBA stack ``[K, R, R, 4]`` (float16 to halve HBM);
-- a full mip pyramid is precomputed as additional stacks (R/2, R/4, ... 1),
-  all carried in one pytree;
-- sampling is explicit bilinear (4 taps = 4 row gathers from the flattened
-  stack) with a per-lane integer LOD picked from the ray-cone footprint
-  (trilinear blending between mips costs a second set of taps; nearest-mip
-  is the default).
+- at flatten time every referenced image is area-resampled into an
+  ``R x R`` RGBA stack (R adapts to the largest source, flatten.py) and a
+  full mip pyramid is computed;
+- ALL levels live in ONE flat [rows, 4] float16 atlas; a sample computes
+  its row index arithmetically (level offset table + dynamic level
+  resolution) so a bilinear tap costs exactly 4 gathers and a trilinear
+  tap 8, INDEPENDENT of the pyramid depth. (The previous design evaluated
+  every level and selected — O(levels) gathers made textured scenes ~5x
+  slower end-to-end.)
+- trilinear filtering (the reference's hardware path) is the default via
+  fractional ray-cone LODs; integer LODs select one level exactly.
 
 Texture id -1 means "no texture" and yields 1.0 so ImageValue-style
 ``constant factor x optional texture`` composition (image_value.h:33-76)
@@ -21,27 +24,67 @@ is a plain multiply.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_RES = 512
 
 
-class TextureStack(NamedTuple):
-    """All scene textures, mip 0 first. ``levels[l]`` has shape
-    [K, R>>l, R>>l, 4] float16."""
+@jax.tree_util.register_pytree_node_class
+class TextureStack:
+    """Flat mip atlas. ``flat`` is [sum_l K*(R>>l)^2, 4] float16; level l's
+    block starts at a statically known row offset and holds K images of
+    resolution R>>l in [K, r, r] row-major order. Static metadata
+    (resolution, level count, texture count) rides pytree aux_data so
+    integrators can branch on it at trace time."""
 
-    levels: tuple  # tuple of jnp arrays
+    def __init__(self, flat, base_res: int, num_levels: int, num_tex: int):
+        self.flat = flat
+        self.base_res = int(base_res)
+        self.num_levels = int(num_levels)
+        self.num_tex = int(num_tex)
+
+    def tree_flatten(self):
+        return (self.flat,), (self.base_res, self.num_levels, self.num_tex)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
     @property
     def num_textures(self) -> int:
-        return self.levels[0].shape[0]
+        return self.num_tex
 
     @property
     def resolution(self) -> int:
-        return self.levels[0].shape[1]
+        return self.base_res
+
+    @property
+    def levels(self):
+        """Per-level [K, r, r, 4] views reconstructed from the atlas
+        (tests/debugging; sampling never materializes these)."""
+        out = []
+        r = self.base_res
+        for off in self.level_offsets():
+            out.append(
+                self.flat[off : off + self.num_tex * r * r].reshape(
+                    self.num_tex, r, r, 4
+                )
+            )
+            r = max(r // 2, 1)
+        return tuple(out)
+
+    def level_offsets(self):
+        """Python list of level start rows (static)."""
+        offs = []
+        row = 0
+        r = self.base_res
+        for _ in range(self.num_levels):
+            offs.append(row)
+            row += self.num_tex * r * r
+            r = max(r // 2, 1)
+        return offs
 
 
 def _area_resample(img: np.ndarray, res: int) -> np.ndarray:
@@ -84,14 +127,17 @@ def build_texture_stack(images: list, res: int = DEFAULT_RES) -> TextureStack:
     signal integrators branch on."""
     if not images:
         return TextureStack(
-            levels=(jnp.ones((1, 1, 1, 4), jnp.float16),)
+            jnp.ones((1, 4), jnp.float16), base_res=1, num_levels=1,
+            num_tex=1,
         )
     base = np.stack([_area_resample(im, res) for im in images])
     levels = [base]
     while levels[-1].shape[1] > 1:
         levels.append(_downsample2(levels[-1]))
+    flat = np.concatenate([l.reshape(-1, 4) for l in levels], axis=0)
     return TextureStack(
-        levels=tuple(jnp.asarray(l, jnp.float16) for l in levels)
+        jnp.asarray(flat, jnp.float16),
+        base_res=res, num_levels=len(levels), num_tex=base.shape[0],
     )
 
 
@@ -101,65 +147,81 @@ def sample_nearest(stack: TextureStack, tex_id, uv, lod=None):
 
 
 def sample_bilinear(stack: TextureStack, tex_id, uv, lod=None):
-    """Bilinear fetch at integer LOD. tex_id [N] int32, uv [N,2] in [0,1)
-    (wrapped). Returns [N,4] float32."""
+    """Bi-/trilinear fetch. tex_id [N] int32, uv [N,2] in [0,1) (wrapped),
+    lod integer (exact level) or float (trilinear blend of the two
+    adjacent levels). Returns [N,4] float32."""
     return _sample(stack, tex_id, uv, lod, bilinear=True)
 
 
-def _level_fetch(level, tex_id, xi, yi):
-    r = level.shape[1]
-    flat = level.reshape(-1, 4)
-    idx = (tex_id * r + yi) * r + xi
-    return flat[idx].astype(jnp.float32)
+def _level_sample(stack, offs, tid, uv, lvl, bilinear):
+    """One level's bi-/nearest sample with the level chosen PER LANE via
+    index arithmetic: r = R >> lvl, row = off[lvl] + (tid*r + y)*r + x."""
+    r = jnp.maximum(stack.base_res >> lvl, 1)
+    off = offs[lvl]
+    rf = r.astype(jnp.float32)
+    x = uv[..., 0] * rf - 0.5
+    y = uv[..., 1] * rf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi0 = jnp.mod(x0.astype(jnp.int32), r)
+    yi0 = jnp.mod(y0.astype(jnp.int32), r)
+
+    def fetch(xi, yi):
+        idx = off + (tid * r + yi) * r + xi
+        return stack.flat[idx].astype(jnp.float32)
+
+    if not bilinear:
+        return fetch(xi0, yi0)
+    xi1 = jnp.mod(xi0 + 1, r)
+    yi1 = jnp.mod(yi0 + 1, r)
+    c00 = fetch(xi0, yi0)
+    c10 = fetch(xi1, yi0)
+    c01 = fetch(xi0, yi1)
+    c11 = fetch(xi1, yi1)
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
 
 
 def _sample(stack, tex_id, uv, lod, bilinear):
-    n_levels = len(stack.levels)
+    n_levels = stack.num_levels
     valid = tex_id >= 0
     tid = jnp.maximum(tex_id, 0)
     if lod is None:
-        lod = jnp.zeros_like(tex_id)
-    lod = jnp.clip(lod, 0, n_levels - 1)
-    # evaluate the sample at every mip level and select — levels is a static
-    # tuple, so this is a fixed chain of small fetches, only the selected
-    # level's gather result survives (XLA dead-codes nothing here, but mip
-    # chains are cheap: total texels < 4/3 * base)
-    out = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
-    for l, level in enumerate(stack.levels):
-        r = level.shape[1]
-        x = uv[..., 0] * r - 0.5
-        y = uv[..., 1] * r - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = (x - x0)[..., None]
-        fy = (y - y0)[..., None]
-        xi0 = jnp.mod(x0.astype(jnp.int32), r)
-        yi0 = jnp.mod(y0.astype(jnp.int32), r)
-        if bilinear:
-            xi1 = jnp.mod(xi0 + 1, r)
-            yi1 = jnp.mod(yi0 + 1, r)
-            c00 = _level_fetch(level, tid, xi0, yi0)
-            c10 = _level_fetch(level, tid, xi1, yi0)
-            c01 = _level_fetch(level, tid, xi0, yi1)
-            c11 = _level_fetch(level, tid, xi1, yi1)
-            val = (
-                c00 * (1 - fx) * (1 - fy)
-                + c10 * fx * (1 - fy)
-                + c01 * (1 - fx) * fy
-                + c11 * fx * fy
-            )
-        else:
-            val = _level_fetch(level, tid, xi0, yi0)
-        out = jnp.where((lod == l)[..., None], val, out)
+        lod = jnp.zeros(uv.shape[:-1], jnp.int32)
+    # float lod => TRILINEAR: blend the two adjacent mips (the reference's
+    # hardware trilinear, image_value.h:81-97) — 8 gathers. Integer lod
+    # selects a single level exactly — 4 gathers.
+    trilinear = jnp.issubdtype(jnp.asarray(lod).dtype, jnp.floating)
+    offs = jnp.asarray(stack.level_offsets(), jnp.int32)
+    if trilinear:
+        lod = jnp.clip(lod, 0.0, n_levels - 1)
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_levels - 1)
+        f = (lod - l0.astype(jnp.float32))[..., None]
+        v0 = _level_sample(stack, offs, tid, uv, l0, bilinear)
+        v1 = _level_sample(stack, offs, tid, uv, l1, bilinear)
+        out = v0 * (1.0 - f) + v1 * f
+    else:
+        lvl = jnp.clip(lod, 0, n_levels - 1)
+        out = _level_sample(stack, offs, tid, uv, lvl, bilinear)
     return jnp.where(valid[..., None], out, 1.0)
 
 
-def ray_cone_lod(stack: TextureStack, uv_screen_size):
-    """Pick the mip whose texel footprint matches the ray-cone uv footprint
-    (reference: ImageValue::eval ray-cone LOD, image_value.h:81-97)."""
+def ray_cone_lod(stack: TextureStack, uv_screen_size, fractional: bool = True):
+    """Mip level whose texel footprint matches the ray-cone uv footprint
+    (reference: ImageValue::eval ray-cone LOD, image_value.h:81-97).
+    Fractional (default) feeds the trilinear blend in _sample; pass
+    ``fractional=False`` for the old nearest-mip integer select."""
     r = stack.resolution
     texels = uv_screen_size * r
-    lod = jnp.maximum(
-        jnp.ceil(jnp.log2(jnp.maximum(texels, 1.0))), 0.0
-    ).astype(jnp.int32)
-    return jnp.clip(lod, 0, len(stack.levels) - 1)
+    lod = jnp.maximum(jnp.log2(jnp.maximum(texels, 1.0)), 0.0)
+    lod = jnp.clip(lod, 0.0, stack.num_levels - 1)
+    if fractional:
+        return lod
+    return jnp.ceil(lod).astype(jnp.int32)

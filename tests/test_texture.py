@@ -4,6 +4,7 @@ ray-cone LOD image_value.h:81-97)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stratum_tpu.render import texture as stex
 
@@ -201,3 +202,43 @@ def test_alpha_test_continuation():
     assert off[interior_l].max() < 4.0
     # opaque (right) side stays blocked either way
     assert on[interior_r].max() < 4.0
+
+
+def test_trilinear_blend():
+    """Fractional LOD tent-blends adjacent mips (reference: hardware
+    trilinear, image_value.h:81-97): halfway between levels = average of
+    the two levels' values; integer lod reproduces exact level select."""
+    import jax.numpy as jnp
+
+    from stratum_tpu.render import texture as stex
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[::2] = 1.0  # mip 0 stripes; mip 1+ average to 0.5
+    stack = stex.build_texture_stack([img], res=8)
+    tid = jnp.zeros((1,), jnp.int32)
+    uv = jnp.asarray([[0.25, 0.3125]], jnp.float32)
+    v0 = float(stex.sample_bilinear(
+        stack, tid, uv, jnp.zeros((1,), jnp.int32))[0, 0])
+    v1 = float(stex.sample_bilinear(
+        stack, tid, uv, jnp.ones((1,), jnp.int32))[0, 0])
+    vf0 = float(stex.sample_bilinear(
+        stack, tid, uv, jnp.zeros((1,), jnp.float32))[0, 0])
+    vhalf = float(stex.sample_bilinear(
+        stack, tid, uv, jnp.full((1,), 0.5, jnp.float32))[0, 0])
+    assert vf0 == pytest.approx(v0, abs=1e-6)
+    assert vhalf == pytest.approx(0.5 * (v0 + v1), abs=1e-6)
+
+
+def test_ray_cone_lod_fractional():
+    from stratum_tpu.render import texture as stex
+    import jax.numpy as jnp
+
+    img = np.ones((16, 16, 3), np.float32)
+    stack = stex.build_texture_stack([img], res=16)
+    # footprint of 4 texels -> lod 2.0 exactly
+    lod = stex.ray_cone_lod(stack, jnp.asarray([4.0 / 16.0]))
+    assert float(lod[0]) == pytest.approx(2.0, abs=1e-5)
+    lod_i = stex.ray_cone_lod(
+        stack, jnp.asarray([3.0 / 16.0]), fractional=False
+    )
+    assert int(lod_i[0]) == 2  # ceil of log2(3)
