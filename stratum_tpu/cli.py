@@ -191,6 +191,12 @@ def main(argv=None) -> int:
         presample_lights=opts.get_int("presampleLights", 0),
     )
     integrator_name = opts.get_str("integrator", "path")
+    # env NEE sampler: 2D CDF tables (environment.h:48-70) or hierarchical
+    # mip texel descent (sample_texel, bdpt_util.hlsli:85-180). Trace-time
+    # global like ops.pallas_trace.MT_MODE — set once before rendering.
+    from stratum_tpu.render import lights as slights
+
+    slights.ENV_SAMPLER = opts.get_str("envSampler", slights.ENV_SAMPLER)
 
     t0 = time.time()
     if opts.has("debug"):

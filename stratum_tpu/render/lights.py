@@ -36,10 +36,148 @@ class LightSampleRecord(NamedTuple):
     tri: jnp.ndarray  # i32 [N] triangle row sampled (-1 for env)
 
 
+# environment sampler selection (trace-time global, like
+# ops.pallas_trace.MT_MODE): "dist2d" = 2D CDF tables
+# (environment.h:48-70); "mip" = hierarchical texel descent over the
+# luminance*sin(theta) sum pyramid (sample_texel, bdpt_util.hlsli:85-180)
+ENV_SAMPLER = "dist2d"
+
+
+def _env_mip_meta(scene: SceneData):
+    from stratum_tpu.scene.schema import env_mip_dims
+
+    he, we = scene.env.emission.shape[:2]
+    dims = env_mip_dims(he, we)  # finest first
+    offs = []
+    row = 0
+    for h, w in dims:
+        offs.append(row)
+        row += h * w
+    return dims, offs
+
+
+def sample_environment_mip(scene: SceneData, u1, u2):
+    """Hierarchical env texel sampling (reference sample_texel,
+    bdpt_util.hlsli:85-180): descend the luminance*sin sum pyramid from the
+    1x1 root, at each level picking one of the 2x2 children proportional
+    to contained energy (4-way split of one uniform scalar, rescaled —
+    the reference's rnd.x reuse). pdf is the product of child
+    probabilities x finest texel count, over uv."""
+    flat = scene.env.lum_mips
+    dims, offs = _env_mip_meta(scene)
+    n_levels = len(dims)
+    u = jnp.asarray(u1)
+    cy = jnp.zeros(u.shape, jnp.int32)
+    cx = jnp.zeros(u.shape, jnp.int32)
+    pdf = jnp.ones(u.shape, jnp.float32)
+    for lvl in range(n_levels - 2, -1, -1):
+        h, w = dims[lvl]
+        ph, pw = dims[lvl + 1]
+        cy = cy * (h // ph)
+        cx = cx * (w // pw)
+        ps = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yy = jnp.minimum(cy + dy, h - 1)
+                xx = jnp.minimum(cx + dx, w - 1)
+                v = flat[offs[lvl] + yy * w + xx]
+                # clip out-of-range duplicates in degenerate dims
+                ok = ((cy + dy) < h) & ((cx + dx) < w)
+                ps.append(jnp.where(ok, v, 0.0))
+        total = ps[0] + ps[1] + ps[2] + ps[3]
+        degen = total < 1e-12
+        probs = [
+            jnp.where(degen, 0.25, p / jnp.maximum(total, 1e-12))
+            for p in ps
+        ]
+        # 4-way select with rescale
+        sel_y = jnp.zeros_like(cy)
+        sel_x = jnp.zeros_like(cx)
+        p_sel = probs[0]
+        acc = probs[0]
+        uu = u
+        for j, (dy, dx) in enumerate(((0, 1), (1, 0), (1, 1))):
+            take = uu >= acc
+            sel_y = jnp.where(take, dy, sel_y)
+            sel_x = jnp.where(take, dx, sel_x)
+            p_sel = jnp.where(take, probs[j + 1], p_sel)
+            acc = acc + probs[j + 1]
+        # rescale u within the chosen bin: recompute the exact bin start
+        # for the selected child (the reference's rnd.x reuse,
+        # bdpt_util.hlsli:118-120)
+        starts = [jnp.zeros_like(u)]
+        for j in range(3):
+            starts.append(starts[-1] + probs[j])
+        bin_lo = starts[0]
+        for j, (dy, dx) in enumerate(((0, 1), (1, 0), (1, 1))):
+            hit_j = (sel_y == dy) & (sel_x == dx)
+            bin_lo = jnp.where(hit_j, starts[j + 1], bin_lo)
+        u = jnp.clip(
+            (u - bin_lo) / jnp.maximum(p_sel, 1e-12), 0.0, 1.0 - 1e-7
+        )
+        cy = cy + sel_y
+        cx = cx + sel_x
+        pdf = pdf * jnp.maximum(p_sel, 1e-12)
+    h0, w0 = dims[0]
+    uv = jnp.stack(
+        [
+            (cx.astype(jnp.float32) + u) / w0,
+            (cy.astype(jnp.float32) + jnp.asarray(u2)) / h0,
+        ],
+        axis=-1,
+    )
+    pdf_uv = pdf * (h0 * w0)
+    direction = smath.spherical_uv_to_cartesian(uv)
+    sin_theta = jnp.sqrt(
+        jnp.maximum(1.0 - direction[..., 1] * direction[..., 1], 1e-12)
+    )
+    pdf_w = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_theta)
+    radiance = eval_environment(scene, direction)
+    return direction, radiance, pdf_w
+
+
+def environment_mip_pdf_uv(scene: SceneData, uv):
+    """pdf over uv of :func:`sample_environment_mip` (reference
+    sample_texel_pdf, bdpt_util.hlsli:137-180): walk the same pyramid,
+    multiplying the probability of the child containing uv."""
+    flat = scene.env.lum_mips
+    dims, offs = _env_mip_meta(scene)
+    n_levels = len(dims)
+    pdf = jnp.ones(uv.shape[:-1], jnp.float32)
+    for lvl in range(n_levels - 2, -1, -1):
+        h, w = dims[lvl]
+        y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        by = (y // 2) * 2
+        bx = (x // 2) * 2
+        ps = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yy = jnp.minimum(by + dy, h - 1)
+                xx = jnp.minimum(bx + dx, w - 1)
+                v = flat[offs[lvl] + yy * w + xx]
+                ok = ((by + dy) < h) & ((bx + dx) < w)
+                ps.append(jnp.where(ok, v, 0.0))
+        total = ps[0] + ps[1] + ps[2] + ps[3]
+        degen = total < 1e-12
+        sel = (jnp.minimum(y - by, 1) << 1) | jnp.minimum(x - bx, 1)
+        p_sel = jnp.where(
+            sel == 0, ps[0],
+            jnp.where(sel == 1, ps[1], jnp.where(sel == 2, ps[2], ps[3])),
+        ) / jnp.maximum(total, 1e-12)
+        p_sel = jnp.where(degen, 0.25, p_sel)
+        pdf = pdf * jnp.maximum(p_sel, 1e-12)
+    h0, w0 = dims[0]
+    return pdf * (h0 * w0)
+
+
 def sample_environment(scene: SceneData, u1, u2):
     """Importance-sample the environment map (reference:
     Environment::sample, environment.h:48-70): sample the 2D luminance*sin
-    distribution, map uv -> direction, pdf converted to solid angle."""
+    distribution (or the mip descent, per ENV_SAMPLER), map uv ->
+    direction, pdf converted to solid angle."""
+    if ENV_SAMPLER == "mip":
+        return sample_environment_mip(scene, u1, u2)
     uv, pdf_uv = sample_dist2d(scene.env.dist, u1, u2)
     direction = smath.spherical_uv_to_cartesian(uv)
     sin_theta = jnp.sqrt(
@@ -62,9 +200,14 @@ def eval_environment(scene: SceneData, direction):
 
 def environment_pdf_w(scene: SceneData, direction):
     """Solid-angle pdf of :func:`sample_environment` for MIS
-    (environment.h ``eval_pdf``)."""
+    (environment.h ``eval_pdf``; mip variant: sample_texel_pdf,
+    bdpt_util.hlsli:137-180). Follows ENV_SAMPLER so MIS weights stay
+    consistent with whichever sampler generated the NEE candidates."""
     uv = smath.cartesian_to_spherical_uv(direction)
-    pdf_uv = dist2d_pdf(scene.env.dist, uv)
+    if ENV_SAMPLER == "mip":
+        pdf_uv = environment_mip_pdf_uv(scene, uv)
+    else:
+        pdf_uv = dist2d_pdf(scene.env.dist, uv)
     sin_theta = jnp.sqrt(
         jnp.maximum(1.0 - direction[..., 1] * direction[..., 1], 1e-12)
     )

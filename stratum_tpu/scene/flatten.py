@@ -321,7 +321,9 @@ def flatten(root: Node, env_probability: float = 0.5,
             img = img * np.asarray(env_component.color, np.float32)
             lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
             env = schema.Environment(
-                emission=jnp.asarray(img), dist=build_env_dist2d(lum)
+                emission=jnp.asarray(img),
+                dist=build_env_dist2d(lum),
+                lum_mips=jnp.asarray(schema.build_env_mips(lum)),
             )
         else:
             env = schema.constant_environment(env_component.color)

@@ -158,10 +158,17 @@ class LightData(NamedTuple):
 
 class Environment(NamedTuple):
     """Environment map + importance-sampling tables (reference:
-    Shaders/environment.h:48-144). A 1x1 image is a constant environment."""
+    Shaders/environment.h:48-144). A 1x1 image is a constant environment.
+
+    Two interchangeable samplers are carried: the 2D CDF tables (``dist``,
+    environment.h:48-70) and a luminance*sin(theta) mip pyramid
+    (``lum_mips``) for the reference's hierarchical texel descent
+    (sample_texel, bdpt_util.hlsli:85-180) — select via
+    render.lights.ENV_SAMPLER."""
 
     emission: jnp.ndarray  # f32 [He, We, 3] equirect radiance
     dist: Dist2D  # luminance * sin(theta) importance tables
+    lum_mips: jnp.ndarray  # f32 [rows] flat sum-pyramid atlas (pow2 dims)
 
 
 class SceneData(NamedTuple):
@@ -255,11 +262,54 @@ def make_materials(**fields) -> DisneyMaterials:
     return finalize_materials(arrs)
 
 
+def env_mip_dims(he: int, we: int):
+    """Static level dims for the env luminance pyramid, finest first:
+    [(H2, W2), (H2/2, W2/2), ..., (1, 1)] with H2/W2 = next pow2."""
+    h2 = 1
+    while h2 < he:
+        h2 *= 2
+    w2 = 1
+    while w2 < we:
+        w2 *= 2
+    dims = [(h2, w2)]
+    while dims[-1] != (1, 1):
+        h, w = dims[-1]
+        dims.append((max(h // 2, 1), max(w // 2, 1)))
+    return dims
+
+
+def build_env_mips(lum: np.ndarray) -> np.ndarray:
+    """luminance*sin(theta) [He, We] -> flat SUM-pyramid atlas (pow2 dims,
+    finest level first). Sums (not means) so 2x2 child weights at any
+    level are proportional to contained energy — the quantity the
+    hierarchical descent splits on (bdpt_util.hlsli:96-120)."""
+    he, we = lum.shape
+    dims = env_mip_dims(he, we)
+    h2, w2 = dims[0]
+    base = np.zeros((h2, w2), np.float32)
+    # area-resample into the pow2 canvas preserving total energy
+    ys = (np.arange(h2) * he) // h2
+    xs = (np.arange(w2) * we) // w2
+    base[:, :] = lum[ys][:, xs]
+    # bake the equirect sin(theta) row weight at the finest level; sums
+    # carry it coarser (the reference multiplies per level, :103-116)
+    base *= np.sin(np.pi * (np.arange(h2) + 0.5) / h2)[:, None]
+    levels = [base]
+    for h, w in dims[1:]:
+        prev = levels[-1]
+        ph, pw = prev.shape
+        levels.append(
+            prev.reshape(h, ph // h, w, pw // w).sum(axis=(1, 3))
+        )
+    return np.concatenate([l.reshape(-1) for l in levels])
+
+
 def constant_environment(rgb=(0.0, 0.0, 0.0)) -> Environment:
     img = np.broadcast_to(np.asarray(rgb, np.float32), (1, 1, 3)).copy()
     return Environment(
         emission=jnp.asarray(img),
         dist=build_dist2d(np.ones((1, 1), np.float32)),
+        lum_mips=jnp.asarray(build_env_mips(np.ones((1, 1), np.float32))),
     )
 
 
