@@ -97,20 +97,20 @@ def sorted_trace_fns(closest, occluded, lo, hi, dir_bits: int = DIR_BITS):
             tm = jnp.full(o.shape[:1], T_MAX, jnp.float32)
         os_, ds_, ts_, inv = _order(o, d, tm)
         h = closest(os_, ds_, ts_)
-        # tri rides the packed float gather BITCAST, not value-cast: a
-        # float32 roundtrip would corrupt triangle ids >= 2^24
+        # tri gets its OWN int32 gather. Riding the packed float gather
+        # via bitcast_convert_type corrupts it on TPU: triangle ids
+        # bitcast to f32 are denormal/NaN bit patterns, and the XLA:TPU
+        # gather path canonicalizes them (measured: 95% of ids mangled
+        # on the atrium while the plain t column roundtrips exactly).
+        # A value-cast is no better (ids >= 2^24 lose bits), so the
+        # one-packed-gather purity loses to a 4-byte/row second gather.
         packed = jnp.concatenate(
-            [
-                h.t[:, None],
-                jax.lax.bitcast_convert_type(h.tri, jnp.float32)[:, None],
-                h.bary,
-            ],
-            axis=-1,
-        )[inv]  # ONE inverse gather for the whole record
+            [h.t[:, None], h.bary], axis=-1
+        )[inv]  # one inverse gather for the float record
         return HitRecord(
             t=packed[:, 0],
-            tri=jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32),
-            bary=packed[:, 2:4],
+            tri=h.tri[inv],
+            bary=packed[:, 1:3],
         )
 
     def occluded_sorted(o, d, t):
