@@ -41,6 +41,35 @@ from stratum_tpu.ops.bvh import morton3
 DEFAULT_LEAF_SIZE = 64
 DEFAULT_BLOCK = 2048
 DEFAULT_GROUP = 32  # blocks vmapped together
+NUM_CHUNKS = 8  # slot-ranges per leaf with their own AABBs (kernel gating)
+
+
+def _chunk_aabbs_np(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Per-slot AABBs [L, K, 3]x2 -> [L, 8, 6] AABBs of the 8 equal
+    (ceil) slot-ranges of each leaf. Empty ranges come out big/-big, same
+    as empty leaves, so the kernel's slab pretest naturally rejects them."""
+    num_leaves, leaf_size, _ = lo.shape
+    kc = -(-leaf_size // NUM_CHUNKS)
+    pad = NUM_CHUNKS * kc - leaf_size
+    big = np.float32(3.0e37)
+    lo = np.pad(lo, ((0, 0), (0, pad), (0, 0)), constant_values=big)
+    hi = np.pad(hi, ((0, 0), (0, pad), (0, 0)), constant_values=-big)
+    clo = lo.reshape(num_leaves, NUM_CHUNKS, kc, 3).min(axis=2)
+    chi = hi.reshape(num_leaves, NUM_CHUNKS, kc, 3).max(axis=2)
+    return np.concatenate([clo, chi], axis=-1).astype(np.float32)
+
+
+def _chunk_aabbs_jnp(lo, hi):
+    """jnp twin of _chunk_aabbs_np (morton builder runs traced)."""
+    num_leaves, leaf_size, _ = lo.shape
+    kc = -(-leaf_size // NUM_CHUNKS)
+    pad = NUM_CHUNKS * kc - leaf_size
+    big = jnp.float32(3.0e37)
+    lo = jnp.pad(lo, ((0, 0), (0, pad), (0, 0)), constant_values=big)
+    hi = jnp.pad(hi, ((0, 0), (0, pad), (0, 0)), constant_values=-big)
+    clo = lo.reshape(num_leaves, NUM_CHUNKS, kc, 3).min(axis=2)
+    chi = hi.reshape(num_leaves, NUM_CHUNKS, kc, 3).max(axis=2)
+    return jnp.concatenate([clo, chi], axis=-1)
 
 
 class FatBVH(NamedTuple):
@@ -50,6 +79,11 @@ class FatBVH(NamedTuple):
     leaf_hi: jnp.ndarray  # f32 [L, 3]
     leaf_feat: jnp.ndarray  # f32 [L, K, 10, 4] Plucker blocks (0 = padding)
     leaf_tri: jnp.ndarray  # i32 [L, K] original tri ids (-1 = padding)
+    # AABBs of 8 equal slot-ranges of each leaf (lo3 | hi3, big/-big when
+    # empty): the Pallas kernel's intra-leaf chunk pretests gate the
+    # matmul+epilogue to the slices of a leaf a sub-block can actually
+    # reach (pallas_trace CHUNKS)
+    leaf_chunk_aabb: jnp.ndarray  # f32 [L, 8, 6]
 
     @property
     def num_leaves(self) -> int:
@@ -101,8 +135,11 @@ def build_fat_bvh_sah(
     big = np.float32(3e37)
     lo = np.where(ok, np.minimum(np.minimum(p0, p1), p2), big)
     hi = np.where(ok, np.maximum(np.maximum(p0, p1), p2), -big)
-    leaf_lo = lo.reshape(num_leaves, leaf_size, 3).min(axis=1)
-    leaf_hi = hi.reshape(num_leaves, leaf_size, 3).max(axis=1)
+    lo = lo.reshape(num_leaves, leaf_size, 3)
+    hi = hi.reshape(num_leaves, leaf_size, 3)
+    leaf_lo = lo.min(axis=1)
+    leaf_hi = hi.max(axis=1)
+    chunk_aabb = _chunk_aabbs_np(lo, hi)
     feats = smxu.build_tri_features(
         jnp.asarray(pos_np), jnp.asarray(idx_np),
         jnp.asarray(valid_np),
@@ -115,6 +152,7 @@ def build_fat_bvh_sah(
         leaf_hi=jnp.asarray(leaf_hi),
         leaf_feat=leaf_feat,
         leaf_tri=jnp.asarray(slots),
+        leaf_chunk_aabb=jnp.asarray(chunk_aabb),
     )
 
 
@@ -153,13 +191,16 @@ def build_fat_bvh(
     ).reshape(num_leaves, leaf_size, 10, 4)
     slo = jnp.where((sorted_tris >= 0)[:, None], lo_pts[gather], big)
     shi = jnp.where((sorted_tris >= 0)[:, None], hi_pts[gather], -big)
-    leaf_lo = jnp.min(slo.reshape(num_leaves, leaf_size, 3), axis=1)
-    leaf_hi = jnp.max(shi.reshape(num_leaves, leaf_size, 3), axis=1)
+    slo = slo.reshape(num_leaves, leaf_size, 3)
+    shi = shi.reshape(num_leaves, leaf_size, 3)
+    leaf_lo = jnp.min(slo, axis=1)
+    leaf_hi = jnp.max(shi, axis=1)
     return FatBVH(
         leaf_lo=leaf_lo,
         leaf_hi=leaf_hi,
         leaf_feat=leaf_feat,
         leaf_tri=sorted_tris.reshape(num_leaves, leaf_size),
+        leaf_chunk_aabb=_chunk_aabbs_jnp(slo, shi),
     )
 
 

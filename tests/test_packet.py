@@ -123,3 +123,45 @@ def test_pallas_tracer_interpret(rng_np):
     )
     ob = np.asarray(intersect.occluded_brute_force(o, d, t_max, pos, idx))
     assert (op == ob).mean() > 0.995
+
+
+@pytest.mark.parametrize("leaf", [4, 32, 64])
+def test_chunk_aabbs_cover_leaf(rng_np, leaf):
+    """Union of the 8 per-chunk AABBs == the leaf AABB, and every valid
+    triangle slot lies inside its chunk's box."""
+    pos, idx = _random_tris(rng_np, 200)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=leaf)
+    ca = np.asarray(fat.leaf_chunk_aabb)  # [L, 8, 6]
+    lo_u = ca[:, :, 0:3].min(axis=1)
+    hi_u = ca[:, :, 3:6].max(axis=1)
+    np.testing.assert_allclose(lo_u, np.asarray(fat.leaf_lo), rtol=1e-6)
+    np.testing.assert_allclose(hi_u, np.asarray(fat.leaf_hi), rtol=1e-6)
+    # per-slot containment
+    kc = -(-leaf // packet.NUM_CHUNKS)
+    tri = np.asarray(fat.leaf_tri)
+    pos_np, idx_np = np.asarray(pos), np.asarray(idx)
+    for l in range(tri.shape[0]):
+        for s in range(leaf):
+            t = tri[l, s]
+            if t < 0:
+                continue
+            box = ca[l, s // kc]
+            pts = pos_np[idx_np[t]]
+            assert (pts.min(0) >= box[0:3] - 1e-5).all()
+            assert (pts.max(0) <= box[3:6] + 1e-5).all()
+
+
+def test_chunk_aabbs_sah(rng_np):
+    from stratum_tpu.ops.packet import build_fat_bvh_sah
+
+    pos, idx = _random_tris(rng_np, 300)
+    fat = build_fat_bvh_sah(pos, idx, leaf_size=32)
+    if fat is None:
+        pytest.skip("native SAH builder unavailable")
+    ca = np.asarray(fat.leaf_chunk_aabb)
+    np.testing.assert_allclose(
+        ca[:, :, 0:3].min(axis=1), np.asarray(fat.leaf_lo), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        ca[:, :, 3:6].max(axis=1), np.asarray(fat.leaf_hi), rtol=1e-6
+    )

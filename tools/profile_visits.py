@@ -54,6 +54,7 @@ def main():
         out = spallas._run_blocks(
             rays, geom, cand, centry, ncand,
             spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed, block=2048,
+            mode=spallas.MT_MODE, subs=16,
         )
         return out, ncand
 
