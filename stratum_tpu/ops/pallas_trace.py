@@ -78,14 +78,44 @@ NBUF = 2
 # one sub per 128-lane group (measured best: secondary atrium wave
 # 518 -> 334 ms at block=2048/subs=16; primary flat).
 SUBS = None
+# Intra-leaf chunks: the slab is packed chunk-major (CHUNKS contiguous
+# slot-ranges per leaf, each with its own AABB from FatBVH.leaf_chunk_aabb)
+# and every (sub, chunk) pair is pretested separately, so a sub-block pays
+# the matmul + epilogue only for the slices of a leaf its rays can reach.
+# MEASURED NEGATIVE on the atrium at K=1024 (tools/sweep_chunks.py):
+# chunks=8 loses 1.5-3x on every wave (primary 28.3 -> 17.0 Mr/s,
+# sorted secondary 233 -> 717 ms at block=2048/subs=16) — the 8x extra
+# pretests + 8 small [kc, sw] matmuls per visit cost more than the
+# skipped slab slices save. Default 1 = gating off; the knob stays for
+# ablation (tests cover chunks in {4, 8} in interpret mode).
+CHUNKS = 1
 
 
-def pack_leaf_features(fat, mode: str | None = None) -> jnp.ndarray:
+def _effective_chunks(leaf_size: int, requested: int | None = None) -> int:
+    """Largest chunk count <= requested that divides the leaf and keeps
+    each chunk's 4*Kc slab columns a multiple of the 128-lane tile."""
+    c = CHUNKS if requested is None else requested
+    while c > 1 and (
+        leaf_size % c != 0 or (4 * (leaf_size // c)) % 128 != 0
+    ):
+        c //= 2
+    return max(c, 1)
+
+
+def pack_leaf_features(
+    fat, mode: str | None = None, chunks: int | None = None
+) -> jnp.ndarray:
     """FatBVH -> Pallas DMA slabs, layout per MT_MODE.
 
-    f32 modes: [L, 16, 4K] f32 — rows 0-9 = the Plucker feature matrix
-    (quantity-major columns [a(K) | u(K) | v(K) | t(K)]), rows 10-15 zero
-    so a ray block can matmul the slab directly.
+    f32 modes: [L, 16, 4K] f32 — rows 0-9 = the Plucker feature matrix,
+    rows 10-15 zero so a ray block can matmul the slab directly. Columns
+    are CHUNK-MAJOR: for each of the ``chunks`` contiguous slot-ranges of
+    Kc = K/chunks triangles, that chunk's quantity-major block
+    [a(Kc) | u(Kc) | v(Kc) | t(Kc)] occupies columns
+    [j*4Kc, (j+1)*4Kc) — so the kernel's per-chunk commits are plain
+    static slab slices (chunks=1 reproduces the flat [a(K)|u(K)|v(K)|t(K)]
+    layout). Slot numbering is unchanged: chunk j covers original slots
+    [j*Kc, (j+1)*Kc), so slot ids still index leaf_tri/leaf_feat directly.
 
     "c48": [L, 32, 4K] bf16 — rows 0-15 = s_hi (bf16 round of the f32
     features), rows 16-31 = s_lo (bf16 of the rounding residual). The
@@ -94,7 +124,11 @@ def pack_leaf_features(fat, mode: str | None = None) -> jnp.ndarray:
     """
     mode = MT_MODE if mode is None else mode
     L, K = fat.leaf_tri.shape
+    nc = _effective_chunks(K, chunks)
+    kc = K // nc
     feat = jnp.transpose(fat.leaf_feat, (0, 2, 3, 1))  # [L, 10, 4, K]
+    feat = feat.reshape(L, 10, 4, nc, kc)
+    feat = jnp.transpose(feat, (0, 1, 3, 2, 4))  # [L, 10, nc, 4, kc]
     feat = feat.reshape(L, 10, 4 * K)
     feat = jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
     if mode != "c48":
@@ -104,20 +138,38 @@ def pack_leaf_features(fat, mode: str | None = None) -> jnp.ndarray:
     return jnp.concatenate([s_hi, s_lo], axis=1)  # [L, 32, 4K]
 
 
-def pack_leaf_aabbs(fat) -> jnp.ndarray:
-    """FatBVH -> [ceil(L/8), 8, 128] f32: leaf l's row is (l//8, l%8) =
+def pack_leaf_aabbs(fat, chunks: int | None = None) -> jnp.ndarray:
+    """FatBVH -> per-visit AABB DMA groups for the kernel pretests.
+
+    chunks == 1: [ceil(L/8), 8, 128] f32 — leaf l's row is (l//8, l%8) =
     (lo.xyz, hi.xyz, 0...) — [8, 128] groups (Mosaic DMA slices must be
-    lane-tile aligned) so the kernel can DMA one group per visit into SMEM
-    for the per-ray slab pre-test."""
-    L = fat.leaf_lo.shape[0]
-    lp = -(-L // 8) * 8
-    big = jnp.float32(3.0e37)
-    lo = jnp.pad(fat.leaf_lo, ((0, lp - L), (0, 0)), constant_values=big)
-    hi = jnp.pad(fat.leaf_hi, ((0, lp - L), (0, 0)), constant_values=-big)
-    rows = jnp.concatenate(
-        [lo, hi, jnp.zeros((lp, 122), jnp.float32)], axis=1
-    )  # [lp, 128]
-    return rows.reshape(lp // 8, 8, 128)
+    lane-tile aligned); the kernel DMAs group leaf//8 per visit.
+
+    chunks > 1: [L, 8, 128] f32 — row j of leaf l's group is chunk j's
+    (lo.xyz, hi.xyz, 0...) from FatBVH.leaf_chunk_aabb; the kernel DMAs
+    group `leaf` per visit and pretests each (sub, chunk) pair. Same
+    transfer size per visit either way."""
+    nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
+    if nc == 1:
+        L = fat.leaf_lo.shape[0]
+        lp = -(-L // 8) * 8
+        big = jnp.float32(3.0e37)
+        lo = jnp.pad(fat.leaf_lo, ((0, lp - L), (0, 0)), constant_values=big)
+        hi = jnp.pad(fat.leaf_hi, ((0, lp - L), (0, 0)), constant_values=-big)
+        rows = jnp.concatenate(
+            [lo, hi, jnp.zeros((lp, 122), jnp.float32)], axis=1
+        )  # [lp, 128]
+        return rows.reshape(lp // 8, 8, 128)
+    ca = fat.leaf_chunk_aabb  # [L, 8, 6] (lo3 | hi3)
+    if nc != ca.shape[1]:
+        # coarsen build-time NUM_CHUNKS ranges into nc equal unions
+        L = ca.shape[0]
+        g = ca.shape[1] // nc
+        lo = ca[:, :, 0:3].reshape(L, nc, g, 3).min(axis=2)
+        hi = ca[:, :, 3:6].reshape(L, nc, g, 3).max(axis=2)
+        ca = jnp.concatenate([lo, hi], axis=-1)
+        ca = jnp.pad(ca, ((0, 0), (0, 8 - nc), (0, 0)))
+    return jnp.pad(ca, ((0, 0), (0, 0), (0, 122)))  # [L, 8, 128]
 
 
 def _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem):
@@ -205,7 +257,7 @@ def _mt_quants(rays, slab, k, mode="x3"):
 def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
             feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
             aabb_s, asem, best_ref, slot_ref, mode="x3",
-            packed_argmin=PACKED_ARGMIN, subs=1):
+            packed_argmin=PACKED_ARGMIN, subs=1, chunks=1):
     b = pl.program_id(0)
     _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
@@ -235,15 +287,20 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
     def centry_at(c):
         return centry_s[lax.rem(c, 8), c // 8]
 
+    kc = k // chunks  # triangles per chunk (slab slice = 4*kc columns)
+
     def dma(slot, c):
         return pltpu.make_async_copy(
             feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
         )
 
     def adma(slot, c):
-        return pltpu.make_async_copy(
-            aabb_hbm.at[cand_at(c) // 8], aabb_s.at[slot], asem.at[slot]
+        src = (
+            aabb_hbm.at[cand_at(c)]
+            if chunks > 1
+            else aabb_hbm.at[cand_at(c) // 8]
         )
+        return pltpu.make_async_copy(src, aabb_s.at[slot], asem.at[slot])
 
     def banded_slab(slot):
         """Leaf slab as the matmul LHS; c48 appends the third band
@@ -279,27 +336,37 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 
         leaf = cand_at(c)
         adma(slot, c).wait()
-        # per-SUB-BLOCK pretests: a leaf only pays [K, B/subs] matmul +
-        # epilogue work for the sub-blocks whose rays can still improve —
-        # incoherent waves typically want a leaf in 1-2 of 4 sub-blocks
+        # per-(SUB, CHUNK) pretests: a leaf only pays [kc, B/subs] matmul +
+        # epilogue work for the (128-lane sub-block, intra-leaf chunk)
+        # pairs whose rays can still reach that slice of the leaf —
+        # incoherent waves typically want 1-2 of 4 sub-blocks, and a
+        # wanting sub typically reaches 1-2 of the 8 chunk boxes
         sw = B // subs
         wants = [
-            _pretest(
-                geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
-                lax.rem(leaf, 8), best_ref[0:1, s * sw : (s + 1) * sw],
-            )
+            [
+                _pretest(
+                    geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
+                    j if chunks > 1 else lax.rem(leaf, 8),
+                    best_ref[0:1, s * sw : (s + 1) * sw],
+                )
+                for j in range(chunks)
+            ]
             for s in range(subs)
         ]
-        want = wants[0]
-        for w_s in wants[1:]:
-            want = want | w_s
+        nexec = wants[0][0].astype(jnp.int32)
+        for s in range(subs):
+            for j in range(chunks):
+                if s == 0 and j == 0:
+                    continue
+                nexec = nexec + wants[s][j].astype(jnp.int32)
         dma(slot, c).wait()  # started unconditionally: always consume
         slab = banded_slab(slot)
 
-        def commit(lo_c):
+        def commit(lo_c, col0):
             best_row = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
             abs_a, stn, base_valid = _mt_quants(
-                rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+                rays_mm[:, lo_c : lo_c + sw],
+                slab[:, col0 : col0 + 4 * kc], kc, mode,
             )
             valid = base_valid & (stn < best_row * abs_a)
             # Mosaic has no general gather: select the per-ray winner
@@ -326,7 +393,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
                 )
                 kbest = (packed & ~mask).astype(jnp.float32)
                 closer = tk < best_row
-                slot_id = jnp.float32(leaf * k) + kbest
+                slot_id = jnp.float32(leaf * k + col0 // 4) + kbest
             else:
                 tt = jnp.where(
                     valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
@@ -338,7 +405,9 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
                 ).astype(tt.dtype)
                 tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, sw]
                 closer = tk < best_row
-                slot_id = (leaf * k + kbest).astype(jnp.float32)[None, :]
+                slot_id = (
+                    leaf * k + col0 // 4 + kbest
+                ).astype(jnp.float32)[None, :]
             best_ref[0:1, lo_c : lo_c + sw] = jnp.where(
                 closer, tk, best_row
             )
@@ -347,9 +416,12 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
             )
 
         for s in range(subs):
-            pl.when(wants[s])(functools.partial(commit, s * sw))
+            for j in range(chunks):
+                pl.when(wants[s][j])(
+                    functools.partial(commit, s * sw, j * 4 * kc)
+                )
 
-        return nxt, jnp.max(best_ref[...]), nex + want.astype(jnp.int32)
+        return nxt, jnp.max(best_ref[...]), nex + nexec
 
     state = (jnp.asarray(0, jnp.int32), jnp.max(t_max),
              jnp.asarray(0, jnp.int32))
@@ -379,7 +451,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
                 aabb_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
                 csem, aabb_s, asem, best_ref, slot_ref, mode="x3",
-                subs=1):
+                subs=1, chunks=1):
     """Any-hit variant: a committed hit zeroes the ray's t bound, so the
     front-to-back loop exits as soon as every ray is blocked (or no
     candidate leaf starts inside a surviving segment) — the reference's
@@ -409,15 +481,20 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     def centry_at(c):
         return centry_s[lax.rem(c, 8), c // 8]
 
+    kc = k // chunks
+
     def dma(slot, c):
         return pltpu.make_async_copy(
             feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
         )
 
     def adma(slot, c):
-        return pltpu.make_async_copy(
-            aabb_hbm.at[cand_at(c) // 8], aabb_s.at[slot], asem.at[slot]
+        src = (
+            aabb_hbm.at[cand_at(c)]
+            if chunks > 1
+            else aabb_hbm.at[cand_at(c) // 8]
         )
+        return pltpu.make_async_copy(src, aabb_s.at[slot], asem.at[slot])
 
     def banded_slab(slot):
         slab = buf[slot]
@@ -452,26 +529,34 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         adma(slot, c).wait()
         sw = B // subs
         wants = [
-            _pretest(
-                geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
-                lax.rem(leaf, 8), best_ref[0:1, s * sw : (s + 1) * sw],
-            )
+            [
+                _pretest(
+                    geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
+                    j if chunks > 1 else lax.rem(leaf, 8),
+                    best_ref[0:1, s * sw : (s + 1) * sw],
+                )
+                for j in range(chunks)
+            ]
             for s in range(subs)
         ]
         dma(slot, c).wait()
         slab = banded_slab(slot)
 
-        def commit(lo_c):
+        def commit(lo_c, col0):
             bound = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
             abs_a, stn, base_valid = _mt_quants(
-                rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+                rays_mm[:, lo_c : lo_c + sw],
+                slab[:, col0 : col0 + 4 * kc], kc, mode,
             )
             valid = base_valid & (stn < bound * abs_a)
             blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, sw]
             best_ref[0:1, lo_c : lo_c + sw] = jnp.where(blocked, 0.0, bound)
 
         for s in range(subs):
-            pl.when(wants[s])(functools.partial(commit, s * sw))
+            for j in range(chunks):
+                pl.when(wants[s][j])(
+                    functools.partial(commit, s * sw, j * 4 * kc)
+                )
 
         return nxt, jnp.max(best_ref[...])
 
@@ -519,37 +604,46 @@ def _pack8(arr, fill):
     jax.jit,
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
-        "subs",
+        "subs", "chunks",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
-                mode="x3", packed_argmin=PACKED_ARGMIN, subs=1):
+                mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1):
     nb, c_max = cand.shape
     if block % subs != 0:
         raise ValueError(
             f"block ({block}) must be a multiple of subs ({subs}); a "
             "truncated sub-block would leave its tail lanes untested"
         )
+    k_leaf = leaf_feat.shape[-1] // 4
+    if k_leaf % chunks != 0:
+        raise ValueError(
+            f"leaf_size {k_leaf} must be a multiple of chunks ({chunks}); "
+            "use _effective_chunks to pick a valid count"
+        )
     if (
         kernel_name == "closest"
         and packed_argmin
-        and leaf_feat.shape[-1] // 4 > (1 << _IDX_BITS)
+        and k_leaf // chunks > (1 << _IDX_BITS)
     ):
         raise ValueError(
-            f"leaf_size {leaf_feat.shape[-1] // 4} exceeds the packed-argmin "
-            f"index budget ({1 << _IDX_BITS}); rebuild the BVH with smaller "
-            "leaves or raise _IDX_BITS"
+            f"per-chunk leaf size {k_leaf // chunks} exceeds the "
+            f"packed-argmin index budget ({1 << _IDX_BITS}); rebuild the "
+            "BVH with smaller leaves or raise _IDX_BITS"
         )
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
     kernel = (
         functools.partial(
-            _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs
+            _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs,
+            chunks=chunks,
         )
         if kernel_name == "closest"
-        else functools.partial(_kernel_occ, mode=mode, subs=subs)
+        else functools.partial(
+            _kernel_occ, mode=mode, subs=subs, chunks=chunks
+        )
     )
     return pl.pallas_call(
         kernel,
@@ -645,20 +739,23 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
 def pallas_closest(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
+    chunks: int | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
-    pack_leaf_features(fat) (precomputed once per scene)."""
+    pack_leaf_features(fat) (precomputed once per scene; its chunk layout
+    must match ``chunks`` — both default to _effective_chunks(K))."""
     n = origin.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
+    nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     rays, geom, cand, centry, ncand, n = _prepare(
         fat, origin, direction, t_min, t_max, block
     )
     out = _run_blocks(
-        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
+        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat, nc),
         leaf_feat_packed, interpret=interpret, block=block,
         mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
-        subs=_resolve_subs(subs, block),
+        subs=_resolve_subs(subs, block), chunks=nc,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -701,18 +798,20 @@ def pallas_closest(
 def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
+    chunks: int | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
     (reference: shadow RayQuery first-commit, intersection.hlsli:192-239)."""
     limit = t_max * np.float32(1.0 - 1e-3)
+    nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     rays, geom, cand, centry, ncand, n = _prepare(
         fat, origin, direction, t_min, limit, block
     )
     out = _run_blocks(
-        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat),
+        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat, nc),
         leaf_feat_packed, interpret=interpret, block=block,
         kernel_name="occluded", mode=MT_MODE,
-        subs=_resolve_subs(subs, block),
+        subs=_resolve_subs(subs, block), chunks=nc,
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

@@ -165,3 +165,37 @@ def test_chunk_aabbs_sah(rng_np):
     np.testing.assert_allclose(
         ca[:, :, 3:6].max(axis=1), np.asarray(fat.leaf_hi), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("subs,chunks", [(1, 8), (2, 8), (2, 4)])
+def test_pallas_tracer_chunked(rng_np, subs, chunks):
+    """Chunk-gated kernel (chunk-major slabs + per-(sub, chunk) commits)
+    agrees with the oracle and with the ungated kernel."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 2000)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=256)
+    assert pallas_trace._effective_chunks(256, 8) == 8
+    feat = pallas_trace.pack_leaf_features(fat, chunks=chunks)
+    o, d = _random_rays(rng_np, 512)
+    hp = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, subs=subs, chunks=chunks
+    )
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    agree = (np.asarray(hp.tri) == np.asarray(hr.tri)).mean()
+    assert agree > 0.995, agree
+    both = (np.asarray(hp.tri) == np.asarray(hr.tri)) & (
+        np.asarray(hr.tri) >= 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[both], np.asarray(hr.t)[both], rtol=2e-3, atol=2e-3
+    )
+    t_max = jnp.asarray((rng_np.random(512) * 10).astype(np.float32))
+    op = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, t_max, block=256, interpret=True,
+            subs=subs, chunks=chunks,
+        )
+    )
+    ob = np.asarray(intersect.occluded_brute_force(o, d, t_max, pos, idx))
+    assert (op == ob).mean() > 0.995

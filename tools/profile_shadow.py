@@ -56,6 +56,7 @@ def main():
     n = width * height
     geo = scene.geo
     fat = scene.fat_bvh
+    nc_eff = spallas._effective_chunks(fat.leaf_size)
 
     px, py = camera.pixel_grid_tiled(width, height, 8, 64)
     u = jnp.full((n, 2), 0.5, jnp.float32)
@@ -100,9 +101,9 @@ def main():
             )
             out = spallas._run_blocks(
                 rays, geom, cand, centry, ncand,
-                spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed,
+                spallas.pack_leaf_aabbs(fat, nc_eff), scene.leaf_feat_packed,
                 block=2048, kernel_name="occluded",
-                mode=spallas.MT_MODE, subs=16,
+                mode=spallas.MT_MODE, subs=16, chunks=nc_eff,
             )
             return out, ncand
 

@@ -39,6 +39,7 @@ def main():
     n = width * height
     geo = scene.geo
     fat = scene.fat_bvh
+    nc_eff = spallas._effective_chunks(fat.leaf_size)
     print(f"L={fat.num_leaves} leaves of K={fat.leaf_size}")
 
     px, py = camera.pixel_grid_tiled(width, height, 8, 64)
@@ -53,8 +54,8 @@ def main():
         )
         out = spallas._run_blocks(
             rays, geom, cand, centry, ncand,
-            spallas.pack_leaf_aabbs(fat), scene.leaf_feat_packed, block=2048,
-            mode=spallas.MT_MODE, subs=16,
+            spallas.pack_leaf_aabbs(fat, nc_eff), scene.leaf_feat_packed,
+            block=2048, mode=spallas.MT_MODE, subs=16, chunks=nc_eff,
         )
         return out, ncand
 
