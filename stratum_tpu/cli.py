@@ -189,6 +189,14 @@ def main(argv=None) -> int:
         sort_rays=opts.get_bool("sortRays", False),
         defer_shadows=opts.get_bool("deferShadows", True),
         presample_lights=opts.get_int("presampleLights", 0),
+        coherent_tiles=opts.get_int("coherentTiles", 0),
+        # --waveCaps=1,1,0.5,0.125: cross-bounce stream compaction caps
+        # (fraction of the launch width per bounce); see RenderConfig
+        wave_caps=tuple(
+            float(x)
+            for x in opts.get_str("waveCaps", "").split(",")
+            if x.strip()
+        ),
     )
     integrator_name = opts.get_str("integrator", "path")
     # env NEE sampler: 2D CDF tables (environment.h:48-70) or hierarchical

@@ -116,6 +116,19 @@ class RenderConfig:
     coherent_block: int = 2048  # lanes per coherence granule; matches the
                                 # Pallas tracer's ray-block size so one
                                 # granule == one trace block
+    wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
+                           # config 5; the TPU answer to the reference's
+                           # SIMT lane retirement): entry b caps bounce
+                           # b's wavefront at that fraction of the launch
+                           # width. Between bounces the wave compacts to
+                           # the cap — dead lanes drop first; if more
+                           # lanes are alive than the cap, a uniform
+                           # random subset survives carrying the
+                           # n_alive/cap splitting weight (unbiased, RR-
+                           # style). () = scan over full-width waves.
+                           # Late bounces run a fraction of the lanes
+                           # (atrium: 3-8% alive by bounce 3) so trace +
+                           # shade + NEE costs shrink proportionally.
 
 
 # below this triangle count "auto" tests every triangle on the MXU instead of
@@ -460,7 +473,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     else:
         light_tile = None
 
-    def bounce(carry, _):
+    def bounce(carry, _, px_l=px, py_l=py):
         (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
          n_rays, cone_dist) = carry
         n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
@@ -648,8 +661,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             gbits = srng.pcg4d(
                 jnp.stack(
                     [
-                        px[first].astype(jnp.uint32),
-                        py[first].astype(jnp.uint32),
+                        px_l[first].astype(jnp.uint32),
+                        py_l[first].astype(jnp.uint32),
                         jnp.broadcast_to(
                             jnp.asarray(depth + seed * 131, jnp.uint32),
                             first.shape,
@@ -928,6 +941,104 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         origin, direction, beta, radiance, alive, prev_pdf_w, st,
         jnp.asarray(0), n_rays, cone_dist,
     )
+
+    if cfg.wave_caps:
+        # ---- compacting wavefront (BASELINE config 5 stream compaction):
+        # Python-unrolled bounce loop where bounce b runs on a statically
+        # capped lane count. Between bounces, dead lanes drop first (the
+        # compaction); alive lanes beyond the cap are terminated as a
+        # uniform random subset with the survivors carrying the
+        # n_alive/cap splitting weight — RR-to-a-budget, unbiased. Each
+        # lane's radiance scatters into the full-res image exactly once:
+        # when the lane is dropped, or after the final bounce.
+        def _budget(b):
+            if b == 0:
+                return n
+            frac = float(
+                cfg.wave_caps[b]
+                if b < len(cfg.wave_caps)
+                else cfg.wave_caps[-1]
+            )
+            nb = int(np.ceil(n * frac / 256.0)) * 256
+            return max(min(nb, n), min(256, n))
+
+        img = jnp.zeros((n, 3), jnp.float32)
+        pid = jnp.arange(n, dtype=jnp.int32)
+        px_l, py_l = px, py
+        shadow_parts = []
+        nb_prev = n
+        for b in range(cfg.max_bounces + 1):
+            carry, shadow_batch = bounce(carry, None, px_l=px_l, py_l=py_l)
+            if shadow_batch is not None:
+                shadow_parts.append((shadow_batch, pid))
+            if b == cfg.max_bounces:
+                break
+            nb_next = min(_budget(b + 1), nb_prev)
+            if nb_next == nb_prev:
+                continue
+            (origin_c, direction_c, beta_c, rad_c, alive_c, prev_pdf_c,
+             st_c, depth_c, n_rays_c, cone_c) = carry
+            # selection keyed by (pixel, bounce, seed) — independent of
+            # the path-sampling stream so compaction never perturbs a
+            # lane's own RNG sequence
+            sel_bits = srng.pcg4d(
+                jnp.stack(
+                    [
+                        pid.astype(jnp.uint32),
+                        jnp.full(pid.shape, np.uint32(b + 1), jnp.uint32),
+                        jnp.broadcast_to(
+                            jnp.asarray(seed, jnp.uint32), pid.shape
+                        ),
+                        jnp.full(pid.shape, np.uint32(0x5E1EC7), jnp.uint32),
+                    ],
+                    axis=-1,
+                )
+            )[..., 0]
+            key = jnp.where(alive_c, srng._bits_to_float(sel_bits), 2.0)
+            order = jnp.argsort(key)
+            kept, dropped = order[:nb_next], order[nb_next:]
+            img = img.at[pid[dropped]].add(rad_c[dropped])
+            n_alive = jnp.sum(alive_c, dtype=jnp.float32)
+            split_w = jnp.maximum(n_alive / np.float32(nb_next), 1.0)
+            carry = (
+                origin_c[kept], direction_c[kept],
+                beta_c[kept] * split_w, rad_c[kept], alive_c[kept],
+                prev_pdf_c[kept], st_c[kept], depth_c, n_rays_c,
+                cone_c[kept],
+            )
+            pid, px_l, py_l = pid[kept], px_l[kept], py_l[kept]
+            nb_prev = nb_next
+        radiance_out = img.at[pid].add(carry[3])
+        if cfg.use_nee and cfg.defer_shadows and shadow_parts:
+            # one occlusion wave over every bounce's rays, like the scan
+            # path — but accumulate full-width parts (pid == identity)
+            # with a reshape+sum; a .at[].add scatter over the whole
+            # concatenation measured +140 ms/spp at ~7M rows
+            o_f = jnp.concatenate([sb["origin"] for sb, _ in shadow_parts])
+            w_f = jnp.concatenate([sb["wi"] for sb, _ in shadow_parts])
+            t_f = jnp.concatenate([sb["dist"] for sb, _ in shadow_parts])
+            c_f = jnp.concatenate([sb["contrib"] for sb, _ in shadow_parts])
+            occ = trace_occluded(o_f, w_f, t_f)
+            hit_contrib = jnp.where((~occ & (t_f > 0))[..., None], c_f, 0.0)
+            off = 0
+            full, tail_contrib, tail_pid = [], [], []
+            for sb, p in shadow_parts:
+                w = sb["dist"].shape[0]
+                part = lax.dynamic_slice_in_dim(hit_contrib, off, w)
+                if w == n:
+                    full.append(part)
+                else:
+                    tail_contrib.append(part)
+                    tail_pid.append(p)
+                off += w
+            if full:
+                radiance_out = radiance_out + sum(full)
+            if tail_pid:
+                radiance_out = radiance_out.at[
+                    jnp.concatenate(tail_pid)
+                ].add(jnp.concatenate(tail_contrib))
+        return radiance_out, carry[8]
+
     carry, shadow_ys = lax.scan(
         bounce, carry, None, length=cfg.max_bounces + 1
     )

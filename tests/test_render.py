@@ -235,3 +235,62 @@ def test_pixel_pick(cornell):
         float(gb.depth[32, 32]), rel=1e-5
     )
     assert int(r.instance[0]) == int(gb.instance[32, 32])
+
+
+def test_wave_compaction_non_binding():
+    """Caps that never bind only reorder lanes: the compacting unrolled
+    loop (wave_caps, BASELINE config 5 stream compaction) must reproduce
+    the scan path exactly — every lane's RNG stream is pixel-keyed and its
+    radiance scatters into its own pixel once."""
+    g = builtin.furnace(albedo=0.6, radiance=0.5)
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    view = camera.make_view(node.to_world(), cam.fovy, 32, 32)
+    base = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(32, 32, max_bounces=3), 7,
+        )
+    )
+    # rays escape to the env at every bounce; by bounce 2 well under half
+    # the wave is alive, so a 0.75 cap compacts without ever binding
+    capped = np.asarray(
+        integrator.render_path(
+            scene, view,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3,
+                wave_caps=(1.0, 1.0, 0.75, 0.75),
+            ), 7,
+        )
+    )
+    np.testing.assert_allclose(capped, base, rtol=1e-5, atol=1e-7)
+
+
+def test_wave_compaction_binding_unbiased(cornell):
+    """When more lanes are alive than the cap, a uniform random subset
+    survives with the n_alive/cap splitting weight — the estimator mean
+    must match the uncapped one (RR-style unbiasedness)."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    spp = 64
+    base = np.asarray(
+        integrator.render_path_progressive(
+            scene, view,
+            integrator.RenderConfig(32, 32, max_bounces=3), spp,
+        )
+    )
+    # cornell is a closed box: nearly every lane survives each bounce, so
+    # a 0.5 cap at bounce 2+ genuinely terminates ~half the alive lanes
+    capped = np.asarray(
+        integrator.render_path_progressive(
+            scene, view,
+            integrator.RenderConfig(
+                32, 32, max_bounces=3,
+                wave_caps=(1.0, 1.0, 0.5, 0.5),
+            ), spp,
+        )
+    )
+    assert np.isfinite(capped).all()
+    assert capped.mean() == pytest.approx(base.mean(), rel=0.05), (
+        capped.mean(), base.mean()
+    )
