@@ -217,7 +217,22 @@ def main(argv=None) -> int:
     elif integrator_name == "direct":
         img = sintegrator.render_direct_progressive(scene, view, cfg, spp, seed)
     elif integrator_name == "path":
-        img = sintegrator.render_path_progressive(scene, view, cfg, spp, seed)
+        # one compiled launch for all spp (lax.scan over seeds); per-sample
+        # dispatch amortizes away. --sppBatch=N caps lax.scan length (and
+        # compile-time unrolling of wave_caps configs) per launch.
+        import jax.numpy as jnp
+
+        batch = opts.get_int("sppBatch", spp)
+        img = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        done = 0
+        while done < spp:
+            b = min(batch, spp - done)
+            mean_b, _ = sintegrator.render_path_batched(
+                scene, view, cfg, b, seed + done
+            )
+            img = img + mean_b * b
+            done += b
+        img = img / spp
     elif integrator_name == "lt":
         from stratum_tpu.render import lighttrace
 

@@ -1108,3 +1108,39 @@ def render_path_progressive(scene, view, cfg: RenderConfig, spp: int, seed0=0):
     for s in range(spp):
         acc = acc + render_path(scene, view, cfg, seed0 + s)
     return acc / spp
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def render_path_batched(scene, view, cfg: RenderConfig, spp: int, seed0=0):
+    """All ``spp`` samples in ONE compiled launch: a ``lax.scan`` over sample
+    seeds accumulates radiance on-device, so per-sample dispatch and host
+    sync vanish from the steady state (the reference amortizes this cost by
+    never leaving the GPU between frames; Node/Application.cpp:7-88).
+    Bit-identical to averaging ``spp`` ``render_path`` calls (sequential sum,
+    same per-sample program). Returns (mean image [H, W, 3], total rays)."""
+    dims = (
+        scamera.tile_dims(cfg.width, cfg.height)
+        if resolved_tracer(scene, cfg) in ("packet", "pallas")
+        else None
+    )
+    if dims is None:
+        px = py = None
+    else:
+        px, py = scamera.pixel_grid_tiled(cfg.width, cfg.height, *dims)
+
+    def sample(carry, seed):
+        acc, rays = carry
+        rad, n_rays = trace_path(scene, view, cfg, seed, px, py)
+        return (acc + rad, rays + n_rays), None
+
+    n = cfg.width * cfg.height
+    acc0 = jnp.zeros((n, 3), jnp.float32)
+    rays0 = jnp.zeros(
+        (), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32
+    )
+    seeds = seed0 + jnp.arange(spp, dtype=jnp.int32)
+    (acc, rays), _ = lax.scan(sample, (acc0, rays0), seeds)
+    acc = acc / spp
+    if dims is None:
+        return acc.reshape(cfg.height, cfg.width, 3), rays
+    return scamera.untile_image(acc, cfg.width, cfg.height, *dims), rays

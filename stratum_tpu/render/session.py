@@ -111,6 +111,17 @@ class RenderSession:
         (accumulated, not tonemapped) radiance estimate. With ``use_restir``
         each sample is ReSTIR DI (reservoirs persist across samples AND
         camera moves via reprojection) + an indirect-only PT sample."""
+        if samples > 1 and not self.use_restir and self.mesh is None:
+            # whole group in ONE compiled launch (lax.scan over seeds):
+            # per-sample dispatch/sync amortizes away; equal to the
+            # sequential loop below (tested to ~1 ulp)
+            mean, _ = sintegrator.render_path_batched(
+                self.scene, self.view, self.cfg, samples,
+                self.seed0 + self.spp,
+            )
+            self.accum = self.accum + mean * samples
+            self.spp += samples
+            return self.radiance()
         for _ in range(samples):
             seed = self.seed0 + self.spp
             if self.use_restir:

@@ -195,3 +195,16 @@ def test_moving_camera_reprojection(setup):
     assert (h_last > 1.5).mean() > 0.90, (h_last > 1.5).mean()
     # history grew over the path for tracked pixels
     assert h_last.max() > 2.5
+
+
+def test_session_batched_step_matches_sequential(setup):
+    """step(3) takes the one-launch batched path; it must agree with three
+    sequential step(1) calls (same seeds, fusion-level rounding only)."""
+    scene, view, cfg = setup
+    a = RenderSession(scene=scene, view=view, cfg=cfg)
+    img_a = np.asarray(a.step(3))
+    b = RenderSession(scene=scene, view=view, cfg=cfg)
+    for _ in range(3):
+        img_b = b.step(1)
+    np.testing.assert_allclose(img_a, np.asarray(img_b), rtol=1e-5, atol=1e-7)
+    assert a.spp == b.spp == 3

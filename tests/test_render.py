@@ -294,3 +294,21 @@ def test_wave_compaction_binding_unbiased(cornell):
     assert capped.mean() == pytest.approx(base.mean(), rel=0.05), (
         capped.mean(), base.mean()
     )
+
+
+def test_batched_spp_matches_sequential(cornell):
+    """render_path_batched (one launch, lax.scan over seeds) must equal the
+    sequential per-sample average: same per-sample program, same sequential
+    accumulation — only XLA fusion-level rounding may differ (~1 ulp)."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    cfg = integrator.RenderConfig(width=32, height=32, max_bounces=3)
+    seq = np.asarray(integrator.render_path_progressive(scene, view, cfg, 3, seed0=5))
+    bat, n_rays = integrator.render_path_batched(scene, view, cfg, 3, 5)
+    np.testing.assert_allclose(seq, np.asarray(bat), rtol=1e-5, atol=1e-7)
+    # ray count = sum of the per-sample counts
+    total = 0
+    for s in range(5, 8):
+        _, c = integrator.render_path_with_counts(scene, view, cfg, s)
+        total += int(np.asarray(c))
+    assert int(np.asarray(n_rays)) == total
