@@ -142,6 +142,7 @@ def main(argv=None) -> int:
             EnvironmentComponent(
                 color=np.full(3, opts.get_float("envScale", 1.0), np.float32),
                 image=load_image(opts.get_str("envmap"), srgb=None)[..., :3],
+                source_path=opts.get_str("envmap"),
             )
         )
     for plug in opts.find_all("plugin"):

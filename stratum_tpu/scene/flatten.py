@@ -120,6 +120,62 @@ def compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.nda
     )
 
 
+def _env_tables(lum: np.ndarray, source_path):
+    """Environment sampling tables (2D CDF distribution + luminance mip
+    pyramid), disk-cached beside the source asset as ``<file>.dists.npz``
+    when the env map came from a file (reference: load_environment caches
+    ``<file>.dists``, environment.h:99-144). The cache key is the table
+    shape plus a strided CRC of the scaled luminance, so editing the image
+    or changing --envScale with a non-uniform tint rebuilds."""
+    import zlib
+
+    from stratum_tpu.core.distribution import Dist1D, Dist2D
+
+    cache = str(source_path) + ".dists.npz" if source_path else None
+    key = None
+    if cache:
+        stride = max(1, lum.shape[0] // 64)
+        key = np.asarray(
+            [
+                lum.shape[0],
+                lum.shape[1],
+                zlib.crc32(np.ascontiguousarray(lum[::stride]).tobytes()),
+                1,  # cache format version
+            ],
+            np.int64,
+        )
+        try:
+            with np.load(cache) as z:
+                if np.array_equal(z["key"], key):
+                    dist = Dist2D(
+                        marginal=Dist1D(
+                            pdf=jnp.asarray(z["m_pdf"]),
+                            cdf=jnp.asarray(z["m_cdf"]),
+                        ),
+                        cond_pdf=jnp.asarray(z["c_pdf"]),
+                        cond_cdf=jnp.asarray(z["c_cdf"]),
+                    )
+                    return dist, jnp.asarray(z["mips"])
+        except Exception:
+            pass  # missing/corrupt/stale cache: rebuild below
+    dist = build_env_dist2d(lum)
+    mips = schema.build_env_mips(lum)
+    if cache:
+        try:
+            np.savez(
+                cache,
+                key=key,
+                m_pdf=np.asarray(dist.marginal.pdf),
+                m_cdf=np.asarray(dist.marginal.cdf),
+                c_pdf=np.asarray(dist.cond_pdf),
+                c_cdf=np.asarray(dist.cond_cdf),
+                mips=np.asarray(mips),
+            )
+        except OSError:
+            pass  # read-only asset dir: cache is best-effort
+    return dist, jnp.asarray(mips)
+
+
 def flatten(root: Node, env_probability: float = 0.5,
             time: float | None = None, prev_time: float | None = None):
     """Walk the subtree under ``root`` and build the device SceneData.
@@ -320,10 +376,13 @@ def flatten(root: Node, env_probability: float = 0.5,
             img = np.asarray(env_component.image, np.float32)
             img = img * np.asarray(env_component.color, np.float32)
             lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+            dist, mips = _env_tables(
+                lum, getattr(env_component, "source_path", None)
+            )
             env = schema.Environment(
                 emission=jnp.asarray(img),
-                dist=build_env_dist2d(lum),
-                lum_mips=jnp.asarray(schema.build_env_mips(lum)),
+                dist=dist,
+                lum_mips=mips,
             )
         else:
             env = schema.constant_environment(env_component.color)

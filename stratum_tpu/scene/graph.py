@@ -263,4 +263,7 @@ class EnvironmentComponent:
         default_factory=lambda: np.zeros(3, np.float32)
     )
     image: Optional[np.ndarray] = None  # [H,W,3] linear radiance
+    source_path: Optional[str] = None  # asset file the image came from;
+    # enables the <file>.dists.npz sampling-table disk cache
+    # (reference: load_environment, environment.h:99-144)
     node: Optional[Node] = None

@@ -300,7 +300,13 @@ def load_mitsuba(parent: Node, path) -> Node:
                     p.get("radiance", np.ones(3, np.float32)), np.float32
                 ) * float(p.get("scale", 1.0))
                 node.make_component(
-                    EnvironmentComponent(color=color, image=img)
+                    EnvironmentComponent(
+                        color=color, image=img,
+                        source_path=(
+                            str(base / p["filename"])
+                            if img is not None else None
+                        ),
+                    )
                 )
         elif elem.tag == "shape":
             stype = elem.get("type")

@@ -264,6 +264,7 @@ def load_colonnade(out_dir, **kw):
         EnvironmentComponent(
             color=np.ones(3, np.float32),
             image=load_image(info["env"], srgb=False)[..., :3],
+            source_path=str(info["env"]),
         )
     )
     cam = g.root.add_child("camera")

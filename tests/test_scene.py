@@ -139,3 +139,62 @@ def test_obj_negative_indices(tmp_path):
     load_obj(g.root, obj)
     scene, stats = flatten.flatten(g.root)
     assert stats.num_triangles == 1
+
+
+def test_env_dists_disk_cache(tmp_path):
+    """Env sampling tables are cached beside the asset as <file>.dists.npz
+    (reference: load_environment, environment.h:99-144): first flatten
+    writes it, a second flatten reads it (proved by tampering the cached
+    marginal pdf), and a stale key rebuilds."""
+    from stratum_tpu.io.image import save_image
+    from stratum_tpu.scene.graph import EnvironmentComponent, NodeGraph
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.1, 2.0, (16, 32, 3)).astype(np.float32)
+    path = tmp_path / "sky.hdr"
+    save_image(path, img)
+
+    def build():
+        from stratum_tpu.io.image import load_image
+
+        g = NodeGraph()
+        g.root.add_child("env").make_component(
+            EnvironmentComponent(
+                color=np.ones(3, np.float32),
+                image=load_image(path, srgb=None)[..., :3],
+                source_path=str(path),
+            )
+        )
+        # a camera + one triangle so flatten has geometry
+        tri = g.root.add_child("tri")
+        tri.make_component(MeshPrimitive(
+            positions=np.asarray(
+                [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32
+            ),
+            indices=np.asarray([[0, 1, 2]], np.int32),
+        ))
+        scene, _ = flatten.flatten(g.root)
+        return scene
+
+    cache = tmp_path / "sky.hdr.dists.npz"
+    s1 = build()
+    assert cache.exists()
+
+    # tamper: double the cached marginal pdf; a cache hit must surface it
+    z = dict(np.load(cache))
+    z["m_pdf"] = z["m_pdf"] * 2.0
+    np.savez(cache, **z)
+    s2 = build()
+    np.testing.assert_allclose(
+        np.asarray(s2.env.dist.marginal.pdf),
+        np.asarray(s1.env.dist.marginal.pdf) * 2.0,
+    )
+
+    # stale key (different image content) rebuilds and rewrites
+    z["key"] = z["key"] + 1
+    np.savez(cache, **z)
+    s3 = build()
+    np.testing.assert_allclose(
+        np.asarray(s3.env.dist.marginal.pdf),
+        np.asarray(s1.env.dist.marginal.pdf),
+    )
