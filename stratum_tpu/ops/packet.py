@@ -94,8 +94,63 @@ class FatBVH(NamedTuple):
         return self.leaf_tri.shape[1]
 
 
+def pack_leaf_segments(
+    offsets, leaf_size, seg_lo=None, seg_hi=None, alpha: float = 0.0
+):
+    """Greedily merge adjacent SAH leaf segments into fuller fat leaves.
+
+    The Pallas tracer charges a visited leaf the FULL K-slab DMA + matmul
+    regardless of how many real triangles it holds, so a 55%-full leaf
+    (the SAH builder's typical fill at K=1024 — it splits until
+    count <= K) wastes ~45% of every visit. SAH emits leaves in
+    depth-first spatial order, so merging ADJACENT segments keeps boxes
+    reasonably tight while pushing fill toward 100%.
+
+    ``alpha > 0`` adds a geometric guard: a segment only joins the current
+    pack if the union box's surface area is <= alpha * (sum of the two
+    areas) — alpha=1 merges only when the union is no worse than the
+    parts, larger alpha is greedier. alpha=0 disables the guard (pure
+    fill greedy). Returns the merged offsets array."""
+    offsets = np.asarray(offsets)
+
+    def area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    out = [0]
+    cur_lo = cur_hi = None
+    if alpha > 0 and seg_lo is not None:
+        cur_lo, cur_hi = seg_lo[0].copy(), seg_hi[0].copy()
+    for i in range(1, len(offsets) - 1):
+        seg_end = offsets[i + 1]
+        merge = (seg_end - out[-1]) <= leaf_size
+        if merge and alpha > 0 and seg_lo is not None:
+            u_lo = np.minimum(cur_lo, seg_lo[i])
+            u_hi = np.maximum(cur_hi, seg_hi[i])
+            merge = area(u_lo, u_hi) <= alpha * (
+                area(cur_lo, cur_hi) + area(seg_lo[i], seg_hi[i])
+            )
+        if merge:
+            if alpha > 0 and seg_lo is not None:
+                cur_lo = np.minimum(cur_lo, seg_lo[i])
+                cur_hi = np.maximum(cur_hi, seg_hi[i])
+        else:
+            out.append(int(offsets[i]))
+            if alpha > 0 and seg_lo is not None:
+                cur_lo, cur_hi = seg_lo[i].copy(), seg_hi[i].copy()
+    out.append(int(offsets[-1]))
+    return np.asarray(out, offsets.dtype)
+
+
+# fill-aware leaf packing default for the SAH builder (see
+# pack_leaf_segments): 0 = off, >0 = the union-area guard alpha.
+# Sweepable on TPU via tools/sweep_leafpack.py before flipping the default.
+SAH_PACK_ALPHA = 0.0
+
+
 def build_fat_bvh_sah(
-    positions, indices, valid_mask=None, leaf_size: int = DEFAULT_LEAF_SIZE
+    positions, indices, valid_mask=None, leaf_size: int = DEFAULT_LEAF_SIZE,
+    pack_alpha: float | None = None,
 ) -> FatBVH | None:
     """Fat leaves from the native binned-SAH builder (utils/native.py —
     the counterpart of the reference's driver-side acceleration-structure
@@ -116,11 +171,33 @@ def build_fat_bvh_sah(
     vids = np.nonzero(valid_np)[0].astype(np.int32)
     if len(vids) == 0:
         return None
-    res = sah_order(pos_np, idx_np[vids], leaf_size)
+    pa = SAH_PACK_ALPHA if pack_alpha is None else pack_alpha
+    # with packing on, split to a FINER granule (K/8) and re-pack the
+    # granules into K-sized fat leaves below: SAH segments at granule K
+    # are K/2..K tris, too coarse to ever merge
+    granule = leaf_size if pa == 0 else max(leaf_size // 8, 16)
+    res = sah_order(pos_np, idx_np[vids], granule)
     if res is None:
         return None
     order, offsets = res
     order = vids[order]
+    if pa != 0 and len(offsets) > 2:
+        # per-segment AABBs for the merge guard
+        c0 = pos_np[idx_np[order, 0]]
+        c1 = pos_np[idx_np[order, 1]]
+        c2 = pos_np[idx_np[order, 2]]
+        t_lo = np.minimum(np.minimum(c0, c1), c2)
+        t_hi = np.maximum(np.maximum(c0, c1), c2)
+        ns = len(offsets) - 1
+        seg_lo = np.empty((ns, 3), np.float32)
+        seg_hi = np.empty((ns, 3), np.float32)
+        for s in range(ns):
+            seg_lo[s] = t_lo[offsets[s]:offsets[s + 1]].min(axis=0)
+            seg_hi[s] = t_hi[offsets[s]:offsets[s + 1]].max(axis=0)
+        offsets = pack_leaf_segments(
+            offsets, leaf_size, seg_lo, seg_hi,
+            alpha=(pa if pa > 0 else 0.0),
+        )
     num_leaves = len(offsets) - 1
     slots = np.full((num_leaves, leaf_size), -1, np.int32)
     for l in range(num_leaves):

@@ -199,3 +199,39 @@ def test_pallas_tracer_chunked(rng_np, subs, chunks):
     )
     ob = np.asarray(intersect.occluded_brute_force(o, d, t_max, pos, idx))
     assert (op == ob).mean() > 0.995
+
+
+def test_leaf_packing_fill_and_parity(rng_np):
+    """Fill-aware leaf packing (pack_leaf_segments): merged segments stay
+    within leaf_size, cover the same triangle order, raise mean fill, and
+    the packed FatBVH traces identically to brute force."""
+    from stratum_tpu.ops.packet import build_fat_bvh_sah, pack_leaf_segments
+
+    pos, idx = _random_tris(rng_np, 3000, spread=10.0)
+    base = build_fat_bvh_sah(pos, idx, leaf_size=64)
+    if base is None:
+        pytest.skip("native SAH builder unavailable")
+    packed = build_fat_bvh_sah(pos, idx, leaf_size=64, pack_alpha=-1.0)
+    fill_base = (np.asarray(base.leaf_tri) >= 0).mean()
+    fill_packed = (np.asarray(packed.leaf_tri) >= 0).mean()
+    assert packed.num_leaves < base.num_leaves
+    assert fill_packed > fill_base
+    # same triangle multiset
+    assert set(np.asarray(packed.leaf_tri)[np.asarray(packed.leaf_tri) >= 0]
+               ) == set(np.asarray(base.leaf_tri)[np.asarray(base.leaf_tri) >= 0])
+    o, d = _random_rays(rng_np, 1024)
+    hp = packet.packet_closest(packed, o, d, block=256, group=2)
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    agree = (np.asarray(hp.tri) == np.asarray(hr.tri)).mean()
+    assert agree > 0.995, agree
+    # the union-area guard only blocks merges: guarded packing has at
+    # least as many (tighter) leaves as pure greedy
+    guarded = build_fat_bvh_sah(pos, idx, leaf_size=64, pack_alpha=1.5)
+    assert guarded.num_leaves >= packed.num_leaves
+
+    # unit: offsets boundaries are a subset and segments respect leaf_size
+    offs = np.asarray([0, 10, 30, 45, 60, 64, 100])
+    merged = pack_leaf_segments(offs, 64)
+    assert merged[0] == 0 and merged[-1] == 100
+    assert set(merged).issubset(set(offs.tolist()))
+    assert (np.diff(merged) <= 64).all()
