@@ -28,7 +28,17 @@ def _fetch(x):
     return float(np.asarray(x).reshape(-1)[0])
 
 
-def _measure_e2e(scene, view, cfg, spp, integrator):
+def _measure_e2e(scene, view, cfg, spp, integrator, batched=False):
+    if batched:
+        # all spp in one compiled launch (render_path_batched); flip via
+        # --batch after the on-chip A/B (tools/profile_sppbatch.py)
+        img, n_rays = integrator.render_path_batched(scene, view, cfg, spp, 0)
+        _fetch(n_rays)  # compile + run
+        t0 = time.time()
+        img, n_rays = integrator.render_path_batched(scene, view, cfg, spp, 1)
+        total = int(_fetch(n_rays))
+        dt = time.time() - t0
+        return total / dt / 1e6, dt / spp
     img, n_rays = integrator.render_path_with_counts(scene, view, cfg, 0)
     _fetch(n_rays)  # compile + run
     t0 = time.time()
@@ -82,7 +92,10 @@ def main() -> int:
         presample_lights=4096,
         coherent_tiles=opts.get_int("coherent", 16),
     )
-    mrays_atrium, spp_s = _measure_e2e(scene, view, cfg, spp, integrator)
+    batched = opts.has("batch")
+    mrays_atrium, spp_s = _measure_e2e(
+        scene, view, cfg, spp, integrator, batched
+    )
     results["atrium_e2e"] = round(mrays_atrium, 3)
     results["atrium_ms_per_spp"] = round(spp_s * 1e3, 1)
 
@@ -127,7 +140,9 @@ def main() -> int:
         scene4, _ = flatten.flatten(g4.root)
         node4, cam4 = flatten.find_camera(g4.root)
         view4 = camera.make_view(node4.to_world(), cam4.fovy, width, height)
-        mrays_col, col_ms = _measure_e2e(scene4, view4, cfg, spp, integrator)
+        mrays_col, col_ms = _measure_e2e(
+            scene4, view4, cfg, spp, integrator, batched
+        )
         results["colonnade_e2e"] = round(mrays_col, 3)
         results["colonnade_ms_per_spp"] = round(col_ms * 1e3, 1)
 
@@ -139,7 +154,9 @@ def main() -> int:
     cfg2 = integrator.RenderConfig(
         width=width, height=height, max_bounces=4, presample_lights=4096,
     )
-    mrays_cornell, _ = _measure_e2e(scene2, view2, cfg2, spp, integrator)
+    mrays_cornell, _ = _measure_e2e(
+        scene2, view2, cfg2, spp, integrator, batched
+    )
     results["cornell_e2e"] = round(mrays_cornell, 3)
 
     headline = results["atrium_e2e"]
