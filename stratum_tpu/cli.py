@@ -191,6 +191,9 @@ def main(argv=None) -> int:
         defer_shadows=opts.get_bool("deferShadows", True),
         presample_lights=opts.get_int("presampleLights", 0),
         coherent_tiles=opts.get_int("coherentTiles", 0),
+        # --shadowRr=L: RR NEE shadow rays whose unoccluded contribution
+        # luminance is below L (survivors carry 1/p; unbiased)
+        shadow_rr=opts.get_float("shadowRr", 0.0),
         # --waveCaps=1,1,0.5,0.125: cross-bounce stream compaction caps
         # (fraction of the launch width per bounce); see RenderConfig
         wave_caps=tuple(

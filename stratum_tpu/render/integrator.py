@@ -87,6 +87,15 @@ class RenderConfig:
                                # bdpt.hlsl:86-99, PresampledLightPoint
                                # bdpt.h:92-100). Unbiased: tile entries are
                                # iid draws from the light distribution.
+    shadow_rr: float = 0.0  # >0: Russian-roulette NEE shadow rays by
+                            # unoccluded contribution — a candidate whose
+                            # luminance is L survives with
+                            # p = clip(L/shadow_rr, 0.05, 1) and carries
+                            # 1/p (unbiased). Kills the long tail of
+                            # negligible env/area candidates BEFORE the
+                            # deferred wave; dead lanes fail every AABB
+                            # pretest so whole sub-blocks skip their
+                            # matmuls even in the unsorted shadow wave.
     debug_path_edges: int = 0  # >0: keep only contributions whose path has
                                # exactly this many edges — the estimator
                                # microscope (reference:
@@ -370,6 +379,22 @@ def _bsdf_fns(cfg: RenderConfig):
 
         return disney.disney_eval, disney.disney_sample
     raise ValueError(f"unknown bsdf {cfg.bsdf!r}")
+
+
+def _shadow_ray_rr(cfg: RenderConfig, contrib, candidate, st):
+    """Russian roulette on NEE shadow rays (cfg.shadow_rr): survive with
+    probability proportional to the unoccluded contribution's luminance,
+    survivors carry 1/p. Unbiased; compile-time no-op when disabled (the
+    RNG stream is untouched so default renders stay bit-identical)."""
+    if cfg.shadow_rr <= 0:
+        return contrib, candidate, st
+    p = jnp.clip(
+        smath.luminance(contrib) / cfg.shadow_rr, 0.05, 1.0
+    )
+    u, st = srng.next_floats(st, 1)
+    keep = u[..., 0] < p
+    contrib = contrib / p[..., None]
+    return contrib, candidate & keep, st
 
 
 def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None):
@@ -833,6 +858,9 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     scene.media, nee_shadow_origin, wi, dist, st
                 )
                 contrib = contrib * trans[..., None]
+            contrib, candidate, st = _shadow_ray_rr(
+                cfg, contrib, candidate, st
+            )
             n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
             if cfg.defer_shadows:
                 shadow_batch = dict(
@@ -875,6 +903,9 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     scene.media, nee_shadow_origin, wi, dist, st
                 )
                 contrib = contrib * trans[..., None]
+            contrib, candidate, st = _shadow_ray_rr(
+                cfg, contrib, candidate, st
+            )
             n_rays = n_rays + jnp.sum(candidate, dtype=n_rays.dtype)
             if cfg.defer_shadows:
                 shadow_batch = dict(

@@ -312,3 +312,27 @@ def test_batched_spp_matches_sequential(cornell):
         _, c = integrator.render_path_with_counts(scene, view, cfg, s)
         total += int(np.asarray(c))
     assert int(np.asarray(n_rays)) == total
+
+
+def test_shadow_ray_rr_unbiased(cornell):
+    """Shadow-ray Russian roulette (cfg.shadow_rr): survivors carry 1/p so
+    the mean must match the un-rouletted estimator; the traced shadow-ray
+    count must actually drop."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    spp = 64
+    cfg0 = integrator.RenderConfig(32, 32, max_bounces=3)
+    cfg1 = integrator.RenderConfig(32, 32, max_bounces=3, shadow_rr=1.0)
+    base = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg0, spp)
+    )
+    rr = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg1, spp)
+    )
+    assert np.isfinite(rr).all()
+    assert rr.mean() == pytest.approx(base.mean(), rel=0.05), (
+        rr.mean(), base.mean()
+    )
+    _, n0 = integrator.render_path_with_counts(scene, view, cfg0, 0)
+    _, n1 = integrator.render_path_with_counts(scene, view, cfg1, 0)
+    assert int(np.asarray(n1)) < int(np.asarray(n0))
