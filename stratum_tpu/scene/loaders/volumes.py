@@ -296,6 +296,15 @@ def load_volume(
         density = np.load(path).astype(np.float32) * density_scale
         lo = np.zeros(3, np.float32)
         hi = np.ones(3, np.float32)
+    elif ext == ".vdb":
+        # OpenVDB containers need blosc + the full 5-4-3 tree reader;
+        # convert offline (e.g. `nanovdb_convert in.vdb out.nvdb`) and
+        # load the .nvdb (reference converts the same way at load time,
+        # load_volumes.cpp:17-52)
+        raise ValueError(
+            f"{path}: .vdb is unsupported — convert to .nvdb "
+            "(nanovdb_convert) and load that instead"
+        )
     else:
         raise ValueError(f"unsupported volume extension {ext!r}")
     node = parent.add_child(path.stem)
