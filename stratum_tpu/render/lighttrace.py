@@ -227,7 +227,18 @@ def render_lt(scene: SceneData, view, cfg: RenderConfig, seed):
 
 
 def render_lt_progressive(scene, view, cfg, spp: int, seed0=0):
-    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-    for s in range(spp):
-        acc = acc + render_lt(scene, view, cfg, seed0 + s)
+    """All spp light-trace samples in ONE compiled launch (lax.scan over
+    seeds, like integrator.render_path_batched): per-sample dispatch
+    amortizes away; accumulation order matches the sequential loop."""
+    return _render_lt_batched(scene, view, cfg, spp, seed0)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _render_lt_batched(scene, view, cfg, spp: int, seed0=0):
+    def sample(acc, seed):
+        return acc + render_lt(scene, view, cfg, seed), None
+
+    acc0 = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    seeds = seed0 + jnp.arange(spp, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(sample, acc0, seeds)
     return acc / spp
