@@ -68,7 +68,12 @@ def main() -> int:
     W, H = 192, 108
     view = camera.make_view(node.to_world(), cam.fovy, W, H)
 
+    # STRATUM_CHECK_TRACER=packet lets the harness logic dry-run on CPU
+    # (the pallas kernel is TPU-only); on the real chip leave it unset
+    tracer_override = os.environ.get("STRATUM_CHECK_TRACER")
+
     def render(tracer, mb, sort):
+        tracer = tracer_override or tracer
         cfg = integrator.RenderConfig(
             width=W, height=H, max_bounces=mb, bsdf="disney",
             tracer=tracer, sort_rays=sort,
@@ -101,6 +106,49 @@ def main() -> int:
         failures.append(f"sort on/off disagree: {rel*100:.2f}%")
     print(f"sorting: on={p4.mean():.5f} off={u4.mean():.5f} "
           f"({rel*100:.3f}%)")
+
+    # -- 5. round-3 features on-device: leaf packing, shadow RR, env mip ----
+    import dataclasses
+
+    from stratum_tpu.ops import packet as spacket
+
+    spacket.SAH_PACK_ALPHA = 3.0
+    scene_p, _ = flatten.flatten(g.root)
+    spacket.SAH_PACK_ALPHA = 0.0
+    cfgp = integrator.RenderConfig(
+        width=W, height=H, max_bounces=4, bsdf="disney",
+        tracer=tracer_override or "pallas",
+    )
+    pk, _ = integrator.render_path_with_counts(scene_p, view, cfgp, 0)
+    pk = np.asarray(pk)
+    rel = abs(pk.mean() - q4.mean()) / max(q4.mean(), 1e-9)
+    if rel > 0.01:
+        failures.append(f"packed-leaf BVH disagrees: {rel*100:.2f}%")
+    print(f"leaf packing (alpha=3): {pk.mean():.5f} ({rel*100:.3f}%)")
+
+    cfgr = dataclasses.replace(cfgp, shadow_rr=0.05)
+    rr, _ = integrator.render_path_with_counts(scene, view, cfgr, 0)
+    rr = np.asarray(rr)
+    rel = abs(rr.mean() - q4.mean()) / max(q4.mean(), 1e-9)
+    if rel > 0.15:  # single sample; RR adds variance, mean should be close
+        failures.append(f"shadow-RR mean drifted: {rel*100:.2f}%")
+    print(f"shadow RR (tau=0.05): {rr.mean():.5f} ({rel*100:.3f}%)")
+
+    from stratum_tpu.render import lights as slights
+
+    slights.ENV_SAMPLER = "mip"
+    mip_render = jax.jit(
+        lambda sc, v, seed: integrator.render_path_with_counts.__wrapped__(
+            sc, v, cfgp, seed
+        )
+    )
+    em, _ = mip_render(scene, view, 0)
+    slights.ENV_SAMPLER = "dist2d"
+    em = np.asarray(em)
+    rel = abs(em.mean() - q4.mean()) / max(q4.mean(), 1e-9)
+    if rel > 0.05:
+        failures.append(f"env mip sampler drifted: {rel*100:.2f}%")
+    print(f"env mip sampler: {em.mean():.5f} ({rel*100:.3f}%)")
 
     if failures:
         print("\nFAIL:")
