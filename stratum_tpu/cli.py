@@ -209,6 +209,11 @@ def main(argv=None) -> int:
     from stratum_tpu.render import lights as slights
 
     slights.ENV_SAMPLER = opts.get_str("envSampler", slights.ENV_SAMPLER)
+    # --sampler=kron: Cranley-Patterson-rotated Kronecker lattice instead
+    # of independent pcg4d draws — lower RMSE at equal spp (core/rng.py)
+    from stratum_tpu.core import rng as srng
+
+    srng.QMC = opts.get_str("sampler", srng.QMC)
 
     t0 = time.time()
     if opts.has("debug"):
