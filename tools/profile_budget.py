@@ -3,7 +3,7 @@ overhead by toggling cfg knobs (null tracer isolates non-trace overhead;
 use_nee=False drops NEE+shadows; defer on/off and coherent on/off isolate
 the deferred wave's share).
 
-Usage: python tools/profile_budget.py [--width=] [--height=]
+Usage: python tools/profile_budget.py [--width=] [--height=] [--scene=atrium|cornell]
 """
 
 from __future__ import annotations
@@ -42,7 +42,9 @@ def main():
     from stratum_tpu.render import camera, integrator
     from stratum_tpu.scene import builtin, flatten
 
-    g = builtin.atrium()
+    scene_name = opts.get_str("scene", "atrium")
+    g = getattr(builtin, scene_name)() if scene_name != "cornell" \
+        else builtin.cornell_box()
     scene, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
