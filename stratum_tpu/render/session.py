@@ -41,6 +41,11 @@ class RenderSession:
     accum: jnp.ndarray = None  # [H,W,3] radiance sum
     spp: int = 0
     seed0: int = 0
+    # adaptive-sampling state (step_adaptive): per-pixel sample counts and
+    # luminance^2 sums; None until the first adaptive round
+    sample_count: jnp.ndarray = None  # f32 [H*W]
+    _accum_sq: jnp.ndarray = None  # f32 [H*W]
+    _seeds_used: int = 0  # RNG seeds consumed (uniform samples + rounds)
     prev_view: object = None
     denoise_state: sdenoise.DenoiseState = None
     restir_state: object = None  # restir.RestirState reservoir carrier
@@ -117,13 +122,16 @@ class RenderSession:
             # sequential loop below (tested to ~1 ulp)
             mean, _ = sintegrator.render_path_batched(
                 self.scene, self.view, self.cfg, samples,
-                self.seed0 + self.spp,
+                self.seed0 + self._seeds_used,
             )
             self.accum = self.accum + mean * samples
             self.spp += samples
+            self._seeds_used += samples
+            if self.sample_count is not None:
+                self.sample_count = self.sample_count + float(samples)
             return self.radiance()
         for _ in range(samples):
-            seed = self.seed0 + self.spp
+            seed = self.seed0 + self._seeds_used
             if self.use_restir:
                 import dataclasses as _dc
 
@@ -151,9 +159,67 @@ class RenderSession:
                 )
             self.accum = self.accum + img
             self.spp += 1
+            self._seeds_used += 1
+            if self.sample_count is not None:
+                self.sample_count = self.sample_count + 1.0
+        return self.radiance()
+
+    def step_adaptive(self, rounds: int = 1, frac: float = 0.25):
+        """Advance ``rounds`` variance-guided adaptive rounds: each round
+        traces ONE fresh sample for the top-``frac`` pixels by smoothed
+        marginal variance (render/adaptive.py). Requires at least one
+        uniform ``step()`` first (the pilot); per-pixel counts weight the
+        estimate, so uniform and adaptive samples mix unbiasedly."""
+        if self.spp < 1:
+            raise RuntimeError("step_adaptive needs a uniform pilot: "
+                               "call step(n) first")
+        from stratum_tpu.render import adaptive as sadaptive
+
+        h, w = self.cfg.height, self.cfg.width
+        n = h * w
+        if self.use_restir or self.mesh is not None:
+            raise RuntimeError(
+                "step_adaptive: unsupported with ReSTIR or a device mesh"
+            )
+        if self.sample_count is None:
+            # adopt the uniform history as the adaptive pilot; the squares
+            # of those samples weren't tracked, so seed the variance with a
+            # 3x3 neighborhood proxy of the mean image (allocation input
+            # only — per-pixel means stay exact regardless)
+            from stratum_tpu.core import math as smath
+
+            cnt = float(self.spp)
+            self.sample_count = jnp.full((n,), cnt, jnp.float32)
+            mean_img = smath.luminance(self.accum) / cnt  # [H,W]
+            pad = jnp.pad(mean_img, 1, mode="edge")
+            taps = jnp.stack([
+                pad[dy:dy + h, dx:dx + w]
+                for dy in range(3) for dx in range(3)
+            ])
+            local_var = taps.var(axis=0) * cnt  # per-sample variance proxy
+            self._accum_sq = (
+                cnt * (local_var + mean_img * mean_img)
+            ).reshape(n)
+        L = max(int(round(n * frac)), 1)
+        accum = self.accum.reshape(n, 3)
+        for _ in range(rounds):
+            accum, self._accum_sq, self.sample_count = (
+                sadaptive._adaptive_round(
+                    self.scene, self.view, self.cfg, accum,
+                    self._accum_sq, self.sample_count, L,
+                    self.seed0 + self._seeds_used,
+                )
+            )
+            self._seeds_used += 1
+        self.accum = accum.reshape(h, w, 3)
+        self.spp = float(jnp.mean(self.sample_count))
         return self.radiance()
 
     def radiance(self):
+        if self.sample_count is not None:
+            h, w = self.cfg.height, self.cfg.width
+            cnt = jnp.maximum(self.sample_count, 1.0).reshape(h, w, 1)
+            return self.accum / cnt
         return self.accum / max(self.spp, 1)
 
     def frame(self):
@@ -180,15 +246,29 @@ class RenderSession:
 
     # -- checkpoint / resume (SURVEY.md §5) --------------------------------
     def save_checkpoint(self, path):
+        extra = {}
+        if self.sample_count is not None:
+            extra["sample_count"] = np.asarray(self.sample_count)
+            extra["accum_sq"] = np.asarray(self._accum_sq)
         np.savez(
             path,
             accum=np.asarray(self.accum),
             spp=self.spp,
             seed0=self.seed0,
+            seeds_used=self._seeds_used,
+            **extra,
         )
 
     def load_checkpoint(self, path):
         data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
         self.accum = jnp.asarray(data["accum"])
-        self.spp = int(data["spp"])
+        self.spp = float(data["spp"])
+        if self.spp == int(self.spp):
+            self.spp = int(self.spp)
         self.seed0 = int(data["seed0"])
+        self._seeds_used = (
+            int(data["seeds_used"]) if "seeds_used" in data else int(self.spp)
+        )
+        if "sample_count" in data:
+            self.sample_count = jnp.asarray(data["sample_count"])
+            self._accum_sq = jnp.asarray(data["accum_sq"])

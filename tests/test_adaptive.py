@@ -51,3 +51,39 @@ def test_mean_consistent_and_rmse_beats_uniform(setup):
         return float(np.sqrt(((a - ref) ** 2).mean()))
 
     assert rmse(ada) < rmse(uni), (rmse(ada), rmse(uni))
+
+
+def test_session_step_adaptive(setup):
+    """Session integration: uniform pilot + adaptive rounds; per-pixel
+    counts weight the estimate, checkpoint/resume carries the state."""
+    from stratum_tpu.render.session import RenderSession
+
+    scene, view, cfg = setup
+    s = RenderSession(scene=scene, view=view, cfg=cfg)
+    s.step(4)
+    img = s.step_adaptive(rounds=8, frac=0.25)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    cnt = np.asarray(s.sample_count)
+    assert cnt.min() >= 4 and cnt.max() > cnt.min()
+    # mean stays consistent with a uniform render at similar effort
+    ref = np.asarray(
+        integrator.render_path_batched(scene, view, cfg, 64, 500)[0]
+    )
+    assert img.mean() == pytest.approx(ref.mean(), rel=0.08)
+
+
+def test_session_adaptive_checkpoint(setup, tmp_path):
+    from stratum_tpu.render.session import RenderSession
+
+    scene, view, cfg = setup
+    a = RenderSession(scene=scene, view=view, cfg=cfg)
+    a.step(2)
+    a.step_adaptive(rounds=2)
+    a.save_checkpoint(tmp_path / "ck")
+    cont = np.asarray(a.step_adaptive(rounds=2))
+
+    b = RenderSession(scene=scene, view=view, cfg=cfg)
+    b.load_checkpoint(tmp_path / "ck")
+    resumed = np.asarray(b.step_adaptive(rounds=2))
+    np.testing.assert_array_equal(cont, resumed)
