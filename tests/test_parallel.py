@@ -150,3 +150,36 @@ def test_sharded_session_frame():
     np.testing.assert_allclose(
         np.asarray(st1.color), np.asarray(st2.color), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_kron_sampler_bit_identical():
+    """The Kronecker lattice sampler (rng.QMC='kron') is keyed by
+    (pixel, dim, sample) only — sharding must not change a sample. Fresh
+    jits per mode (QMC is a trace-time global)."""
+    from stratum_tpu.core import rng as srng
+
+    g = builtin.cornell_box()
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    w, h = 64, 32
+    view = camera.make_view(node.to_world(), cam.fovy, w, h)
+    cfg = integrator.RenderConfig(width=w, height=h, max_bounces=3)
+    m = pmesh.make_mesh()
+    srng.QMC = "kron"
+    try:
+        single_f = jax.jit(
+            lambda sc, v, s: integrator.render_path.__wrapped__(sc, v, cfg, s)
+        )
+        single = np.asarray(single_f(scene, view, 5))
+        # render_path_sharded is not top-level jitted: each call re-traces,
+        # so the QMC global is honored directly
+        sharded = np.asarray(
+            pmesh.render_path_sharded(scene, view, cfg, 5, m)
+        )
+    finally:
+        srng.QMC = "rand"
+    a = single.reshape(-1, 3)
+    b = sharded.reshape(-1, 3)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    frac_exact = (a == b).all(axis=-1).mean()
+    assert frac_exact > 0.9, frac_exact
