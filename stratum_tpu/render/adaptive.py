@@ -46,9 +46,14 @@ def init_state(num_pixels: int) -> AdaptiveState:
     )
 
 
-@partial(jax.jit, static_argnums=(2, 6))
-def _adaptive_round(scene, view, cfg, accum, accum_sq, count, L, seed):
-    """One adaptive round: sample the top-L pixels by marginal variance."""
+@partial(jax.jit, static_argnums=(2, 6, 8))
+def _adaptive_round(scene, view, cfg, accum, accum_sq, count, L, seed,
+                    qmc="rand"):
+    """One adaptive round: sample the top-L pixels by marginal variance.
+
+    ``qmc`` is a cache key only: core/rng.QMC is read at TRACE time, so
+    without it a mode flip after the first compile would be silently
+    ignored (callers pass srng.QMC)."""
     n = cfg.width * cfg.height
     mean = smath.luminance(accum) / jnp.maximum(count, 1.0)
     var = jnp.maximum(
@@ -79,8 +84,9 @@ def _adaptive_round(scene, view, cfg, accum, accum_sq, count, L, seed):
     return accum, accum_sq, count
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _uniform_round(scene, view, cfg, accum, accum_sq, count, seed):
+@partial(jax.jit, static_argnums=(2, 7))
+def _uniform_round(scene, view, cfg, accum, accum_sq, count, seed,
+                   qmc="rand"):
     rad, _ = sintegrator.trace_path(scene, view, cfg, seed)
     return (
         accum + rad,
@@ -101,16 +107,18 @@ def render_adaptive(
     accum, accum_sq, count = st.accum, st.accum_sq, st.count
     spent = 0.0
     seed = seed0
+    from stratum_tpu.core import rng as srng
+
     for _ in range(min(pilot, int(total_rays_budget_spp))):
         accum, accum_sq, count = _uniform_round(
-            scene, view, cfg, accum, accum_sq, count, seed
+            scene, view, cfg, accum, accum_sq, count, seed, srng.QMC
         )
         spent += 1.0
         seed += 1
     L = max(int(round(n * frac)), 1)
     while spent + frac <= total_rays_budget_spp + 1e-6:
         accum, accum_sq, count = _adaptive_round(
-            scene, view, cfg, accum, accum_sq, count, L, seed
+            scene, view, cfg, accum, accum_sq, count, L, seed, srng.QMC
         )
         spent += L / n
         seed += 1

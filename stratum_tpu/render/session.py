@@ -203,11 +203,13 @@ class RenderSession:
         L = max(int(round(n * frac)), 1)
         accum = self.accum.reshape(n, 3)
         for _ in range(rounds):
+            from stratum_tpu.core import rng as srng
+
             accum, self._accum_sq, self.sample_count = (
                 sadaptive._adaptive_round(
                     self.scene, self.view, self.cfg, accum,
                     self._accum_sq, self.sample_count, L,
-                    self.seed0 + self._seeds_used,
+                    self.seed0 + self._seeds_used, srng.QMC,
                 )
             )
             self._seeds_used += 1
