@@ -194,6 +194,8 @@ def main(argv=None) -> int:
         # --shadowRr=L: RR NEE shadow rays whose unoccluded contribution
         # luminance is below L (survivors carry 1/p; unbiased)
         shadow_rr=opts.get_float("shadowRr", 0.0),
+        # --clampIndirect=L: firefly suppression (biased, bounded)
+        clamp_indirect=opts.get_float("clampIndirect", 0.0),
         # --waveCaps=1,1,0.5,0.125: cross-bounce stream compaction caps
         # (fraction of the launch width per bounce); see RenderConfig
         wave_caps=tuple(

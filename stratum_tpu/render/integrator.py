@@ -87,6 +87,10 @@ class RenderConfig:
                                # bdpt.hlsl:86-99, PresampledLightPoint
                                # bdpt.h:92-100). Unbiased: tile entries are
                                # iid draws from the light distribution.
+    clamp_indirect: float = 0.0  # >0: clamp the luminance of INDIRECT
+                                 # contributions (path length >= 2) to this
+                                 # value — the standard production firefly
+                                 # suppressor (biased, bounded). 0 = off.
     shadow_rr: float = 0.0  # >0: Russian-roulette NEE shadow rays by
                             # unoccluded contribution — a candidate whose
                             # luminance is L survives with
@@ -381,6 +385,20 @@ def _bsdf_fns(cfg: RenderConfig):
     raise ValueError(f"unknown bsdf {cfg.bsdf!r}")
 
 
+def _firefly_clamp(cfg: RenderConfig, term, depth, min_depth):
+    """Clamp an indirect contribution's luminance to cfg.clamp_indirect
+    (production firefly suppression; compile-time no-op when disabled)."""
+    if cfg.clamp_indirect <= 0:
+        return term
+    lum = smath.luminance(term)
+    scale = jnp.where(
+        (depth >= min_depth) & (lum > cfg.clamp_indirect),
+        cfg.clamp_indirect / jnp.maximum(lum, 1e-20),
+        1.0,
+    )
+    return term * scale[..., None]
+
+
 def _shadow_ray_rr(cfg: RenderConfig, contrib, candidate, st):
     """Russian roulette on NEE shadow rays (cfg.shadow_rr): survive with
     probability proportional to the unoccluded contribution's luminance,
@@ -599,7 +617,9 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         if cfg.debug_path_edges > 0:
             miss = miss & (depth + 1 == cfg.debug_path_edges)
         radiance = radiance + jnp.where(
-            miss[..., None], beta * env_le * w_env[..., None], 0.0
+            miss[..., None],
+            _firefly_clamp(cfg, beta * env_le * w_env[..., None], depth, 2),
+            0.0,
         )
 
         # -- emissive hit with MIS vs NEE (eval_emission, path.hlsli:847-894)
@@ -635,7 +655,11 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             # vertices (reference non-MIS estimator split, path.hlsli:16-29)
             w_emit = jnp.where(prev_pdf_w < 0.0, 1.0, 0.0)
         radiance = radiance + jnp.where(
-            is_emissive[..., None], beta * mat.emission * w_emit[..., None], 0.0
+            is_emissive[..., None],
+            _firefly_clamp(
+                cfg, beta * mat.emission * w_emit[..., None], depth, 2
+            ),
+            0.0,
         )
 
         alive = (alive & hit.hit) | in_medium
@@ -858,6 +882,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     scene.media, nee_shadow_origin, wi, dist, st
                 )
                 contrib = contrib * trans[..., None]
+            contrib = _firefly_clamp(cfg, contrib, depth, 1)
             contrib, candidate, st = _shadow_ray_rr(
                 cfg, contrib, candidate, st
             )
@@ -903,6 +928,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     scene.media, nee_shadow_origin, wi, dist, st
                 )
                 contrib = contrib * trans[..., None]
+            contrib = _firefly_clamp(cfg, contrib, depth, 1)
             contrib, candidate, st = _shadow_ray_rr(
                 cfg, contrib, candidate, st
             )

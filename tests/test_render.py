@@ -336,3 +336,27 @@ def test_shadow_ray_rr_unbiased(cornell):
     _, n0 = integrator.render_path_with_counts(scene, view, cfg0, 0)
     _, n1 = integrator.render_path_with_counts(scene, view, cfg1, 0)
     assert int(np.asarray(n1)) < int(np.asarray(n0))
+
+
+def test_firefly_clamp(cornell):
+    """clamp_indirect: off is bit-identical at a huge threshold, a tiny
+    threshold strictly reduces indirect energy, direct light untouched."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    base_cfg = integrator.RenderConfig(32, 32, max_bounces=4)
+    base = np.asarray(integrator.render_path(scene, view, base_cfg, 3))
+    import dataclasses
+    huge = np.asarray(integrator.render_path(
+        scene, view, dataclasses.replace(base_cfg, clamp_indirect=1e9), 3))
+    np.testing.assert_array_equal(base, huge)
+    tiny = np.asarray(integrator.render_path(
+        scene, view, dataclasses.replace(base_cfg, clamp_indirect=0.01), 3))
+    assert np.isfinite(tiny).all()
+    assert tiny.mean() < base.mean()
+    # pure direct light (depth-0 NEE + camera-visible emission) is
+    # untouched by the indirect clamp
+    d_cfg = dataclasses.replace(base_cfg, max_bounces=0, clamp_indirect=0.01)
+    d_base = np.asarray(integrator.render_path(
+        scene, view, dataclasses.replace(d_cfg, clamp_indirect=0.0), 3))
+    d_clamp = np.asarray(integrator.render_path(scene, view, d_cfg, 3))
+    np.testing.assert_allclose(d_clamp, d_base, rtol=1e-6)
