@@ -132,19 +132,24 @@ def main() -> int:
     # pipeline on an asset that goes through the real ingestion path, and
     # stop tuning kernel constants on one scene)
     if not on_cpu:
-        from stratum_tpu.scene import sample_assets
+        try:
+            from stratum_tpu.scene import sample_assets
 
-        g4, _info = sample_assets.load_colonnade(
-            "/tmp/stratum_colonnade_bench"
-        )
-        scene4, _ = flatten.flatten(g4.root)
-        node4, cam4 = flatten.find_camera(g4.root)
-        view4 = camera.make_view(node4.to_world(), cam4.fovy, width, height)
-        mrays_col, col_ms = _measure_e2e(
-            scene4, view4, cfg, spp, integrator, batched
-        )
-        results["colonnade_e2e"] = round(mrays_col, 3)
-        results["colonnade_ms_per_spp"] = round(col_ms * 1e3, 1)
+            g4, _info = sample_assets.load_colonnade(
+                "/tmp/stratum_colonnade_bench"
+            )
+            scene4, _ = flatten.flatten(g4.root)
+            node4, cam4 = flatten.find_camera(g4.root)
+            view4 = camera.make_view(
+                node4.to_world(), cam4.fovy, width, height
+            )
+            mrays_col, col_ms = _measure_e2e(
+                scene4, view4, cfg, spp, integrator, batched
+            )
+            results["colonnade_e2e"] = round(mrays_col, 3)
+            results["colonnade_ms_per_spp"] = round(col_ms * 1e3, 1)
+        except Exception as e:  # keep the headline even if a side scene dies
+            print(f"colonnade bench failed: {e!r}", file=sys.stderr)
 
     # --- config 1/3: Cornell (MXU dense path) ------------------------------
     g2 = builtin.cornell_box()
@@ -154,10 +159,14 @@ def main() -> int:
     cfg2 = integrator.RenderConfig(
         width=width, height=height, max_bounces=4, presample_lights=4096,
     )
-    mrays_cornell, _ = _measure_e2e(
-        scene2, view2, cfg2, spp, integrator, batched
-    )
-    results["cornell_e2e"] = round(mrays_cornell, 3)
+    try:
+        mrays_cornell, _ = _measure_e2e(
+            scene2, view2, cfg2, spp, integrator, batched
+        )
+        results["cornell_e2e"] = round(mrays_cornell, 3)
+    except Exception as e:
+        print(f"cornell bench failed: {e!r}", file=sys.stderr)
+        results["cornell_e2e"] = None
 
     headline = results["atrium_e2e"]
     result = {
