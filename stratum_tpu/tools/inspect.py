@@ -105,6 +105,25 @@ def main(argv=None) -> int:
     nl = int(scene.lights.num_lights)
     print(f"\nlights: {nl} emissive triangles, total power "
           f"{float(np.asarray(scene.lights.power).sum()):.1f}")
+
+    if scene.fat_bvh is not None:
+        # traversal-cost telemetry: a visited leaf charges the full K-slab
+        # DMA+matmul regardless of fill (ops/pallas_trace.py), so fill is
+        # matmul efficiency and total box area tracks false-positive visits
+        fb = scene.fat_bvh
+        tri = np.asarray(fb.leaf_tri)
+        fill = float((tri >= 0).mean())
+        d = np.maximum(
+            np.asarray(fb.leaf_hi) - np.asarray(fb.leaf_lo), 0.0
+        )
+        area = float(
+            (2 * (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]))
+            .sum()
+        )
+        print(
+            f"\nBVH: {fb.num_leaves} fat leaves x K={fb.leaf_size}, "
+            f"slot fill {fill:.1%}, total leaf surface area {area:.3g}"
+        )
     return 0
 
 
