@@ -5,6 +5,12 @@ equal spp, and this is the artifact substantiating the repo's
 beyond-reference claims.
 
 Usage: python tools/quality_bench.py [--cpu] [--size=48] [--budgets=4,16,64]
+       [--scene=cornell|colonnade] [--refspp=512]
+
+--scene=colonnade runs the same table on the textured 110K-tri scene
+(OBJ+MTL+PNG+HDR ingestion path, env importance sampling) so the sampler
+claims are not Cornell-only; meant for TPU (a BVH-scale scene at 512
+reference spp is slow on the CPU tier).
 """
 
 from __future__ import annotations
@@ -38,12 +44,21 @@ def main():
     budgets = [
         int(x) for x in opts.get_str("budgets", "4,16,64").split(",")
     ]
-    g = builtin.cornell_box()
+    ref_spp = opts.get_int("refspp", 512)
+    scene_name = opts.get_str("scene", "cornell")
+    if scene_name == "colonnade":
+        from stratum_tpu.scene import sample_assets
+
+        g, _info = sample_assets.load_colonnade("/tmp/stratum_colonnade_bench")
+        mb = 4
+    else:
+        g = builtin.cornell_box()
+        mb = 3
     scene, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
     view = camera.make_view(node.to_world(), cam.fovy, size, size)
     cfg = integrator.RenderConfig(
-        width=size, height=size, max_bounces=3, bsdf="disney"
+        width=size, height=size, max_bounces=mb, bsdf="disney"
     )
 
     def render_uniform(spp, seed0):
@@ -54,12 +69,12 @@ def main():
         )
         return np.asarray(f(scene, view, seed0)[0])
 
-    ref = render_uniform(512, 9000)
+    ref = render_uniform(ref_spp, 9000)
 
     def rmse(a):
         return float(np.sqrt(((a - ref) ** 2).mean()))
 
-    print(f"cornell {size}x{size} disney mb=3; ref=512spp")
+    print(f"{scene_name} {size}x{size} disney mb={mb}; ref={ref_spp}spp")
     print(f"{'budget':>6} {'rand':>8} {'kron':>8} {'adaptive':>9} "
           f"{'kron+ada':>9} {'best x':>7}")
     for b in budgets:
