@@ -23,7 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: public API (the experimental alias is deprecated);
+    # check_rep was renamed check_vma — shim so call sites stay uniform
+    from jax import shard_map as _shard_map
+
+    def shard_map(f=None, **kw):
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from stratum_tpu.render import camera as scamera
 from stratum_tpu.render import integrator as sintegrator
