@@ -55,6 +55,24 @@ def main():
         cfg = integrator.RenderConfig(**{**base, **kw})
         dt = timed(cfg)
         print(f"bdpt atrium {width}x{height} {name:20s}: {dt*1e3:8.1f} ms/spp")
+
+    if opts.has("hd"):
+        # the VERDICT r2 deliverable: 1080p BDPT+LVC on a 16G chip via
+        # chunked subpath storage (render_bdpt_chunked) — record for
+        # BASELINE.md
+        cfg = integrator.RenderConfig(
+            **{**base, **dict(width=1920, height=1080, lvc_connections=4,
+                              presample_lights=4096)}
+        )
+        view_hd = camera.make_view(node.to_world(), cam.fovy, 1920, 1080)
+        img = bdpt.render_bdpt_chunked(scene, view_hd, cfg, 0)
+        jax.block_until_ready(img)
+        t0 = time.time()
+        img = bdpt.render_bdpt_chunked(scene, view_hd, cfg, 1)
+        jax.block_until_ready(img)
+        dt = time.time() - t0
+        print(f"bdpt atrium 1920x1080 chunked lvc=4+presample: "
+              f"{dt*1e3:8.1f} ms/spp")
     return 0
 
 
