@@ -7,7 +7,7 @@ BVH tracer — rays counted exactly like the reference's performance counters
 Also measures the Cornell MXU path and primary-ray traversal; those ride in
 the metric string. Baseline target: 50 Mrays/sec/chip (BASELINE.json).
 
-Usage: python bench.py [--cpu] [--scene=atrium|cornell] [--spp=N]
+Usage: python bench.py [--cpu] [--spp=N] [--batch] [--lanes=N]
 """
 
 from __future__ import annotations
@@ -28,7 +28,22 @@ def _fetch(x):
     return float(np.asarray(x).reshape(-1)[0])
 
 
-def _measure_e2e(scene, view, cfg, spp, integrator, batched=False):
+def _measure_e2e(scene, view, cfg, spp, integrator, batched=False, lanes=0):
+    if lanes > 1:
+        # all `lanes` samples as extra wavefront lanes in one wave set
+        # (render_path_lanes); flip via --lanes=N after the on-chip A/B
+        img, n_rays = integrator.render_path_lanes(scene, view, cfg, lanes, 0)
+        _fetch(n_rays)  # compile + run
+        reps = max(1, spp // lanes)
+        t0 = time.time()
+        total = 0
+        for r in range(reps):
+            img, n_rays = integrator.render_path_lanes(
+                scene, view, cfg, lanes, 1 + r * lanes
+            )
+            total += int(_fetch(n_rays))
+        dt = time.time() - t0
+        return total / dt / 1e6, dt / (reps * lanes)
     if batched:
         # all spp in one compiled launch (render_path_batched); flip via
         # --batch after the on-chip A/B (tools/profile_sppbatch.py)
@@ -93,8 +108,9 @@ def main() -> int:
         coherent_tiles=opts.get_int("coherent", 16),
     )
     batched = opts.has("batch")
+    lanes = opts.get_int("lanes", 0)
     mrays_atrium, spp_s = _measure_e2e(
-        scene, view, cfg, spp, integrator, batched
+        scene, view, cfg, spp, integrator, batched, lanes
     )
     results["atrium_e2e"] = round(mrays_atrium, 3)
     results["atrium_ms_per_spp"] = round(spp_s * 1e3, 1)
@@ -144,7 +160,7 @@ def main() -> int:
                 node4.to_world(), cam4.fovy, width, height
             )
             mrays_col, col_ms = _measure_e2e(
-                scene4, view4, cfg, spp, integrator, batched
+                scene4, view4, cfg, spp, integrator, batched, lanes
             )
             results["colonnade_e2e"] = round(mrays_col, 3)
             results["colonnade_ms_per_spp"] = round(col_ms * 1e3, 1)
@@ -161,7 +177,7 @@ def main() -> int:
     )
     try:
         mrays_cornell, _ = _measure_e2e(
-            scene2, view2, cfg2, spp, integrator, batched
+            scene2, view2, cfg2, spp, integrator, batched, lanes
         )
         results["cornell_e2e"] = round(mrays_cornell, 3)
     except Exception as e:

@@ -477,9 +477,14 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     # T iid light samples drawn once per frame; NEE lanes pick one row each
     if cfg.use_nee and cfg.presample_lights > 0:
         t_tile = cfg.presample_lights
+        # the tile is a FRAME-level table; with a per-lane seed array
+        # (render_path_lanes) the batch shares the first sample's tile —
+        # cross-sample correlation only, never bias (each lane's estimator
+        # conditions on the tile the same way every pixel already does)
+        tile_seed = jnp.asarray(seed, jnp.uint32).reshape(-1)[0]
         st_tile = srng.rng_init(
             jnp.arange(t_tile, dtype=jnp.uint32),
-            np.uint32(0x1EA51E57), seed,
+            np.uint32(0x1EA51E57), tile_seed,
         )
         ut, _ = srng.next_floats(st_tile, 3)
         tl = slights.sample_light(scene, ut[..., 0], ut[..., 1], ut[..., 2])
@@ -1201,3 +1206,42 @@ def render_path_batched(scene, view, cfg: RenderConfig, spp: int, seed0=0):
     if dims is None:
         return acc.reshape(cfg.height, cfg.width, 3), rays
     return scamera.untile_image(acc, cfg.width, cfg.height, *dims), rays
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def render_path_lanes(scene, view, cfg: RenderConfig, spp: int, seed0=0):
+    """All ``spp`` samples of every pixel in ONE wavefront: the lane axis is
+    [spp x pixels], so each bounce traces a single ``spp * num_pix``-ray
+    wave. Complementary to :func:`render_path_batched` (a sequential scan
+    over samples): same-pixel samples start as near-identical rays, so the
+    trace-local sort (ops/raysort) packs them into tighter, more coherent
+    blocks — fewer leaf visits per ray — while per-wave fixed costs
+    (candidate entry pass, block prep) amortize across the batch. This is
+    only possible because the RNG is keyed by (pixel, seed, dimension):
+    lane (s, p) computes EXACTLY the single-sample estimator for pixel p
+    with seed ``seed0+s``, so the average is the plain progressive mean.
+    With presampled NEE the per-frame light tile is built from ``seed0``
+    and shared by the whole batch (cross-sample correlation only — the
+    same tradeoff coherent_tiles already makes). Memory scales with
+    ``spp``; 2-4 is the practical range at 1080p on a 16G chip.
+    Returns (mean image [H, W, 3], total rays)."""
+    dims = (
+        scamera.tile_dims(cfg.width, cfg.height)
+        if resolved_tracer(scene, cfg) in ("packet", "pallas")
+        else None
+    )
+    if dims is None:
+        px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    else:
+        px, py = scamera.pixel_grid_tiled(cfg.width, cfg.height, *dims)
+    n = cfg.width * cfg.height
+    pxs = jnp.tile(px, spp)
+    pys = jnp.tile(py, spp)
+    seeds = jnp.repeat(
+        jnp.uint32(seed0) + jnp.arange(spp, dtype=jnp.uint32), n
+    )
+    rad, n_rays = trace_path(scene, view, cfg, seeds, pxs, pys)
+    acc = rad.reshape(spp, n, 3).mean(axis=0)
+    if dims is None:
+        return acc.reshape(cfg.height, cfg.width, 3), n_rays
+    return scamera.untile_image(acc, cfg.width, cfg.height, *dims), n_rays

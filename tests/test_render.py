@@ -314,6 +314,51 @@ def test_batched_spp_matches_sequential(cornell):
     assert int(np.asarray(n_rays)) == total
 
 
+def test_lane_batched_spp_matches_sequential(cornell):
+    """render_path_lanes (all spp as extra wavefront lanes) must equal the
+    sequential per-sample average: the RNG is keyed by (pixel, seed, dim),
+    so lane (s, p) computes exactly the single-sample estimator for pixel p
+    with seed s — on the dense MXU path the result is lane-order
+    independent (per-ray reductions only)."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    cfg = integrator.RenderConfig(width=32, height=32, max_bounces=3)
+    seq = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg, 3, seed0=5)
+    )
+    lan, n_rays = integrator.render_path_lanes(scene, view, cfg, 3, 5)
+    np.testing.assert_allclose(seq, np.asarray(lan), rtol=1e-5, atol=1e-7)
+    total = 0
+    for s in range(5, 8):
+        _, c = integrator.render_path_with_counts(scene, view, cfg, s)
+        total += int(np.asarray(c))
+    assert int(np.asarray(n_rays)) == total
+
+
+def test_lane_batched_spp_packet_presample(cornell):
+    """Lane batching through the BVH packet tracer with presampled +
+    coherent NEE: block composition changes (spp x lanes sort together),
+    so hits are identical but visit-order float reassociation may differ;
+    with presampling the batch shares sample 0's light tile, so compare
+    against the same-tile expectation at a loose statistical tolerance."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    cfg = integrator.RenderConfig(
+        width=32, height=32, max_bounces=3, tracer="packet",
+        presample_lights=256, coherent_tiles=16, coherent_block=128,
+    )
+    lan, _ = integrator.render_path_lanes(scene, view, cfg, 4, 3)
+    lan = np.asarray(lan)
+    assert np.isfinite(lan).all()
+    seq = np.asarray(
+        integrator.render_path_progressive(scene, view, cfg, 16, seed0=100)
+    )
+    # unbiasedness: batch mean tracks an independent 16-spp estimate
+    assert lan.mean() == pytest.approx(seq.mean(), rel=0.15), (
+        lan.mean(), seq.mean()
+    )
+
+
 def test_shadow_ray_rr_unbiased(cornell):
     """Shadow-ray Russian roulette (cfg.shadow_rr): survivors carry 1/p so
     the mean must match the un-rouletted estimator; the traced shadow-ray

@@ -69,6 +69,31 @@ def main():
             f"({dt_bat / spp * 1e3:7.1f} ms/spp)",
             flush=True,
         )
+
+        # lane batching (render_path_lanes): spp samples as extra wavefront
+        # lanes — coherence win (same-pixel samples sort into the same
+        # blocks) on top of the launch amortization. Memory scales with
+        # lanes; 2/4 are the practical points at 1080p.
+        for lanes in (2, 4):
+            try:
+                img_l, nr_l = integrator.render_path_lanes(
+                    scene, view, cfg, lanes, 1
+                )
+                float(np.asarray(img_l).mean())  # compile+run
+                t0 = time.time()
+                img_l, nr_l = integrator.render_path_lanes(
+                    scene, view, cfg, lanes, 1
+                )
+                total_l = int(np.asarray(nr_l))
+                dt_l = time.time() - t0
+                print(
+                    f"{name:16s} lanes={lanes}: "
+                    f"{total_l / dt_l / 1e6:7.3f} Mrays/s "
+                    f"({dt_l / lanes * 1e3:7.1f} ms/spp)",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"{name:16s} lanes={lanes}: FAILED {e!r}", flush=True)
     return 0
 
 
