@@ -246,13 +246,23 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         batch = opts.get_int("sppBatch", spp)
+        # --sppLanes=N additionally traces N samples per launch as extra
+        # wavefront lanes (render_path_lanes): coherence + amortization,
+        # memory scales with N (2-4 practical at 1080p)
+        lanes = opts.get_int("sppLanes", 0)
         img = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         done = 0
         while done < spp:
-            b = min(batch, spp - done)
-            mean_b, _ = sintegrator.render_path_batched(
-                scene, view, cfg, b, seed + done
-            )
+            if lanes > 1:
+                b = min(lanes, spp - done)
+                mean_b, _ = sintegrator.render_path_lanes(
+                    scene, view, cfg, b, seed + done
+                )
+            else:
+                b = min(batch, spp - done)
+                mean_b, _ = sintegrator.render_path_batched(
+                    scene, view, cfg, b, seed + done
+                )
             img = img + mean_b * b
             done += b
         img = img / spp
