@@ -37,6 +37,10 @@ class RenderSession:
     use_restir: bool = False  # ReSTIR DI + indirect-only PT composition
     restir_candidates: int = 4
     restir_spatial_taps: int = 0
+    # >1: step(n) traces groups of this many samples as extra wavefront
+    # lanes (integrator.render_path_lanes) — coherence + amortization;
+    # memory scales with the value (2-4 practical at 1080p)
+    spp_lanes: int = 0
 
     accum: jnp.ndarray = None  # [H,W,3] radiance sum
     spp: int = 0
@@ -117,14 +121,27 @@ class RenderSession:
         each sample is ReSTIR DI (reservoirs persist across samples AND
         camera moves via reprojection) + an indirect-only PT sample."""
         if samples > 1 and not self.use_restir and self.mesh is None:
-            # whole group in ONE compiled launch (lax.scan over seeds):
-            # per-sample dispatch/sync amortizes away; equal to the
-            # sequential loop below (tested to ~1 ulp)
-            mean, _ = sintegrator.render_path_batched(
-                self.scene, self.view, self.cfg, samples,
-                self.seed0 + self._seeds_used,
-            )
-            self.accum = self.accum + mean * samples
+            # whole group in ONE compiled launch: lane batching when
+            # spp_lanes > 1 (sample axis on the wavefront lanes), else a
+            # lax.scan over seeds; per-sample dispatch/sync amortizes away
+            # and both equal the sequential loop below (tested to ~1 ulp /
+            # exactly on the dense path)
+            done = 0
+            while done < samples:
+                if self.spp_lanes > 1:
+                    b = min(self.spp_lanes, samples - done)
+                    mean, _ = sintegrator.render_path_lanes(
+                        self.scene, self.view, self.cfg, b,
+                        self.seed0 + self._seeds_used + done,
+                    )
+                else:
+                    b = samples - done
+                    mean, _ = sintegrator.render_path_batched(
+                        self.scene, self.view, self.cfg, b,
+                        self.seed0 + self._seeds_used + done,
+                    )
+                self.accum = self.accum + mean * b
+                done += b
             self.spp += samples
             self._seeds_used += samples
             if self.sample_count is not None:

@@ -208,3 +208,17 @@ def test_session_batched_step_matches_sequential(setup):
         img_b = b.step(1)
     np.testing.assert_allclose(img_a, np.asarray(img_b), rtol=1e-5, atol=1e-7)
     assert a.spp == b.spp == 3
+
+
+def test_session_lane_step_matches_sequential(setup):
+    """step(4) with spp_lanes=2 renders two 2-lane groups
+    (integrator.render_path_lanes); same seeds as four sequential
+    step(1) calls, so the accumulations must agree."""
+    scene, view, cfg = setup
+    a = RenderSession(scene=scene, view=view, cfg=cfg, spp_lanes=2)
+    img_a = np.asarray(a.step(4))
+    b = RenderSession(scene=scene, view=view, cfg=cfg)
+    for _ in range(4):
+        img_b = b.step(1)
+    np.testing.assert_allclose(img_a, np.asarray(img_b), rtol=1e-5, atol=1e-7)
+    assert a.spp == b.spp == 4
