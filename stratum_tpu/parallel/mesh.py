@@ -84,6 +84,51 @@ def _render_sharded_jit(scene, view, cfg, seed, mesh):
     return render_path_sharded(scene, view, cfg, seed, mesh)
 
 
+def render_path_lanes_sharded(scene, view, cfg, spp, seed0, mesh: Mesh):
+    """Lane-batched sampling (integrator.render_path_lanes) with pixel
+    tiles sharded over ``mesh``: each device traces its tile's ``spp``
+    samples as extra wavefront lanes. Pixel-keyed RNG + absolute-coord
+    coherent-granule keying make this bit-identical to the unsharded
+    lane-batched render when the per-device tile is a multiple of
+    cfg.coherent_block. Returns (mean image [H, W, 3], total rays)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    num_pixels = cfg.width * cfg.height
+    if num_pixels % n_dev:
+        raise ValueError(
+            f"{cfg.width}x{cfg.height} pixels not divisible by {n_dev} devices"
+        )
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    def tile_render(scene_rep, view_rep, px_tile, py_tile):
+        local = px_tile.shape[0]
+        pxs = jnp.tile(px_tile, spp)
+        pys = jnp.tile(py_tile, spp)
+        seeds = jnp.repeat(
+            jnp.uint32(seed0) + jnp.arange(spp, dtype=jnp.uint32), local
+        )
+        rad, n_rays = sintegrator.trace_path(
+            scene_rep, view_rep, cfg, seeds, pxs, pys
+        )
+        mean = rad.reshape(spp, local, 3).mean(axis=0)
+        return mean, jax.lax.psum(n_rays, axis)
+
+    rad, n_rays = tile_render(scene, view, px, py)
+    return rad.reshape(cfg.height, cfg.width, 3), n_rays
+
+
 def render_lt_sharded(scene, view, cfg, seed, mesh: Mesh):
     """Light tracing with light paths sharded over ``mesh``: every device
     traces its slice of the path budget and produces a PARTIAL splat image;

@@ -113,6 +113,35 @@ def test_sharded_presample_coherent_bit_identical():
     assert frac_exact > 0.9, frac_exact
 
 
+def test_sharded_lane_batch_matches_unsharded():
+    """Lane-batched sampling sharded over the mesh == the unsharded
+    lane-batched render: lanes are (pixel, seed)-keyed, granules are
+    absolute-coord keyed, so per-device tiles that are a multiple of
+    coherent_block draw identical samples; only XLA fusion-level
+    reassociation (different reduction splits at different shard shapes)
+    separates the images."""
+    g = builtin.cornell_box()
+    scene, _ = flatten.flatten(g.root)
+    node, cam = flatten.find_camera(g.root)
+    w, h = 64, 32
+    view = camera.make_view(node.to_world(), cam.fovy, w, h)
+    cfg = integrator.RenderConfig(
+        width=w, height=h, max_bounces=3, presample_lights=256,
+        coherent_tiles=16, coherent_block=128,
+    )
+    single, n_single = integrator.render_path_lanes(scene, view, cfg, 2, 7)
+    m = pmesh.make_mesh()
+    sharded, n_sharded = pmesh.render_path_lanes_sharded(
+        scene, view, cfg, 2, 7, m
+    )
+    a = np.asarray(single).reshape(-1, 3)
+    b = np.asarray(sharded).reshape(-1, 3)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    frac_exact = (a == b).all(axis=-1).mean()
+    assert frac_exact > 0.75, frac_exact
+    assert int(np.asarray(n_single)) == int(np.asarray(n_sharded))
+
+
 def test_sharded_session_frame():
     """Full session frame (render + G-buffer + SVGF) sharded over the mesh
     matches the single-device frame (VERDICT r2: sharded end-to-end)."""
