@@ -250,6 +250,39 @@ def atrium(columns: int = 6, stacks: int = 24, slices: int = 48) -> NodeGraph:
     return g
 
 
+def smoky_cornell(res: int = 32, sigma: float = 0.02) -> NodeGraph:
+    """Cornell box (no boxes) with a heterogeneous smoke plume: density is
+    a deterministic swirling column (radial falloff around a sinusoidally
+    displaced axis, thinning with height) — a hermetic stand-in for a
+    loaded .vol/.nvdb cloud that exercises Woodcock delta tracking,
+    ratio-tracked shadows and HG scattering end-to-end (reference:
+    medium.hlsli:74-168 delta tracking against NanoVDB grids)."""
+    g = cornell_box(boxes=False)
+    z = np.linspace(0.0, 1.0, res, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(z, z, z, indexing="ij")  # [D, H, W] = (z, y, x)
+    # plume axis wiggles with height; radius grows and density thins upward
+    ax = 0.5 + 0.18 * np.sin(6.0 * yy)
+    az = 0.5 + 0.18 * np.cos(5.0 * yy + 1.3)
+    r2 = (xx - ax) ** 2 + (zz - az) ** 2
+    radius = 0.10 + 0.22 * yy
+    core = np.exp(-r2 / np.maximum(radius**2, 1e-6))
+    ripple = 0.75 + 0.25 * np.sin(12.0 * xx + 9.0 * zz + 7.0 * yy)
+    density = (sigma * core * ripple * (1.0 - 0.6 * yy)).astype(np.float32)
+    from stratum_tpu.scene.graph import MediumComponent
+
+    smoke = g.root.add_child("smoke")
+    smoke.make_component(
+        MediumComponent(
+            density=density,
+            box_lo=np.asarray([80.0, 0.0, 80.0], np.float32),
+            box_hi=np.asarray([475.0, 460.0, 475.0], np.float32),
+            albedo=np.asarray([0.85, 0.85, 0.9], np.float32),
+            g=0.3,
+        )
+    )
+    return g
+
+
 def furnace(
     albedo: float = 0.8, radiance: float = 0.5, stacks: int = 16, slices: int = 32
 ) -> NodeGraph:

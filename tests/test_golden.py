@@ -14,7 +14,7 @@ from tests.update_goldens import GOLDEN, configs, render
 @pytest.mark.parametrize(
     "name",
     ["cornell_path", "cornell_disney", "spheres_disney",
-     "colonnade_textured"],
+     "colonnade_textured", "cornell_smoke"],
 )
 def test_golden(name):
     path = GOLDEN / f"{name}.npy"

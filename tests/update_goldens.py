@@ -62,6 +62,11 @@ def configs():
         "colonnade_textured", g, spp=8, max_bounces=2, bsdf="disney",
         presample_lights=256,
     )
+    # heterogeneous smoke plume: delta tracking + ratio-tracked shadows +
+    # HG scattering through the hermetic procedural cloud (VERDICT r2
+    # volume-tier done-criterion: a smoke golden renders)
+    add("cornell_smoke", builtin.smoky_cornell(sigma=0.05), spp=8,
+        max_bounces=3)
     return out
 
 
