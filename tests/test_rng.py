@@ -174,3 +174,36 @@ class TestKroneckerSampler:
         assert rmse(kron_img) < rmse(rand_img), (
             rmse(kron_img), rmse(rand_img)
         )
+
+    def test_lane_batching_preserves_lattice(self):
+        """render_path_lanes under kron: each lane's seed IS the lattice
+        sample index, so the lane-batched image equals the sequential
+        per-seed mean — the composition the TPU bench config uses."""
+        import jax
+
+        from stratum_tpu.render import camera, integrator
+        from stratum_tpu.scene import builtin, flatten
+
+        g = builtin.cornell_box()
+        scene, _ = flatten.flatten(g.root)
+        node, cam = flatten.find_camera(g.root)
+        view = camera.make_view(node.to_world(), cam.fovy, 32, 32)
+        cfg = integrator.RenderConfig(width=32, height=32, max_bounces=2)
+
+        def run():
+            lanes = jax.jit(
+                lambda sc, v: integrator.render_path_lanes.__wrapped__(
+                    sc, v, cfg, 3, 5
+                )
+            )(scene, view)[0]
+            seq = 0.0
+            for s in range(5, 8):
+                seq = seq + jax.jit(
+                    lambda sc, v, s0: integrator.render_path.__wrapped__(
+                        sc, v, cfg, s0
+                    )
+                )(scene, view, s)
+            return np.asarray(lanes), np.asarray(seq) / 3.0
+
+        lan, seq = self._with_kron(run)
+        np.testing.assert_allclose(lan, seq, rtol=1e-5, atol=1e-7)
