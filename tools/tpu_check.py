@@ -150,6 +150,20 @@ def main() -> int:
         failures.append(f"env mip sampler drifted: {rel*100:.2f}%")
     print(f"env mip sampler: {em.mean():.5f} ({rel*100:.3f}%)")
 
+    # -- 6. lane batching on-device: the sorted waves now interleave spp
+    # replicas of every pixel; hits/sampling must be lane-order invariant
+    lan, _ = integrator.render_path_lanes(scene, view, cfgp, 2, 0)
+    lan = np.asarray(lan)
+    s0, _ = integrator.render_path_with_counts(scene, view, cfgp, 0)
+    s1, _ = integrator.render_path_with_counts(scene, view, cfgp, 1)
+    seq = (np.asarray(s0) + np.asarray(s1)) / 2.0
+    rel = abs(lan.mean() - seq.mean()) / max(seq.mean(), 1e-9)
+    px_rel = np.abs(lan - seq).mean() / max(seq.mean(), 1e-9)
+    if px_rel > 0.005:
+        failures.append(f"lane batching disagrees: per-px {px_rel*100:.2f}%")
+    print(f"lane batching (2): {lan.mean():.5f} vs {seq.mean():.5f} "
+          f"(mean {rel*100:.3f}%, per-px {px_rel*100:.3f}%)")
+
     if failures:
         print("\nFAIL:")
         for f in failures:
