@@ -84,3 +84,25 @@ def test_cli_unknown_integrator_fails(tmp_path):
             "--spp=1", "--integrator=nope",
             f"--out={tmp_path / 'x.png'}",
         ])
+
+
+def test_cli_plugin_hook(tmp_path, monkeypatch):
+    """--plugin=module imports the module and calls register(graph, opts)
+    (reference: dynamic_library plugin loading, src/main.cpp:11-24)."""
+    plug = tmp_path / "stratum_test_plugin.py"
+    plug.write_text(
+        "CALLS = []\n"
+        "def register(graph, opts):\n"
+        "    CALLS.append(graph.root.name)\n"
+        "    graph.root.add_child('from_plugin')\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    out = tmp_path / "p.png"
+    rc = cli.main([
+        "--cpu", "--scene=cornell", "--width=32", "--height=32", "--spp=1",
+        "--plugin=stratum_test_plugin", f"--out={out}",
+    ])
+    assert rc == 0
+    import stratum_test_plugin
+
+    assert stratum_test_plugin.CALLS == ["root"]
