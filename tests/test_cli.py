@@ -106,3 +106,27 @@ def test_cli_plugin_hook(tmp_path, monkeypatch):
     import stratum_test_plugin
 
     assert stratum_test_plugin.CALLS == ["root"]
+
+
+def test_cli_envmap_and_volume(tmp_path):
+    """--envmap (equirect HDR light) and --volume (.vol medium) attach
+    through the CLI build path (reference: Environment material +
+    load_volumes, environment.h:48-93 / load_volumes.cpp:17-52)."""
+    import numpy as np
+
+    from stratum_tpu.scene.loaders.volumes import write_vol_grid
+
+    env = np.zeros((8, 16, 3), np.float32)
+    env[2, 5] = (4.0, 3.0, 2.0)  # one bright texel: importance tables built
+    env_path = tmp_path / "sky.hdr"
+    sio.save_image(str(env_path), env)
+    vol_path = tmp_path / "fog.vol"
+    write_vol_grid(
+        vol_path, np.full((4, 4, 4), 0.002, np.float32),
+        (100, 100, 100), (400, 400, 400),
+    )
+    img = _run(
+        tmp_path, f"--envmap={env_path}", f"--volume={vol_path}",
+        "--maxBounces=2",
+    )
+    assert img.mean() > 0
