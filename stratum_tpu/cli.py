@@ -187,7 +187,7 @@ def main(argv=None) -> int:
         alpha_test=opts.get_bool("alphaTest", False),
         ris_candidates=opts.get_int("ris", 1)
         if opts.get_str("integrator", "path") != "restir" else 1,
-        sort_rays=opts.get_bool("sortRays", False),
+        sort_rays=opts.get_bool("sortRays", True),
         defer_shadows=opts.get_bool("deferShadows", True),
         presample_lights=opts.get_int("presampleLights", 0),
         coherent_tiles=opts.get_int("coherentTiles", 0),
