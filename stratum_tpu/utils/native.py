@@ -48,7 +48,16 @@ def _build_library(name: str) -> ctypes.CDLL | None:
     src = _NATIVE_DIR / f"{name}.cpp"
     if not src.exists():
         return None
-    tag = hashlib.sha1(src.read_bytes()).hexdigest()[:12]
+    # tag by source AND host CPU: -march=native binaries from a different
+    # host (VM migration) can SIGILL here, so a migrated box must rebuild
+    try:
+        cpu = subprocess.run(
+            ["grep", "-m1", "flags", "/proc/cpuinfo"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout
+    except Exception:
+        cpu = ""
+    tag = hashlib.sha1(src.read_bytes() + cpu.encode()).hexdigest()[:12]
     out = _cache_dir() / f"stratum_{name}_{tag}.so"
     if not (out.exists() and _owned_private(out)):
         # compile to a private temp file, then atomic rename into place
