@@ -207,15 +207,36 @@ def main(argv=None) -> int:
     integrator_name = opts.get_str("integrator", "path")
     # env NEE sampler: 2D CDF tables (environment.h:48-70) or hierarchical
     # mip texel descent (sample_texel, bdpt_util.hlsli:85-180). Trace-time
-    # global like ops.pallas_trace.MT_MODE — set once before rendering.
+    # global like ops.pallas_trace.MT_MODE — set once before rendering and
+    # RESTORED on exit: main() is also callable in-process (tests, library
+    # embedders), where a leaked global would silently change every later
+    # render in the process (a kron run once poisoned the golden suite).
+    from stratum_tpu.core import rng as srng
     from stratum_tpu.render import lights as slights
 
+    prev_env_sampler = slights.ENV_SAMPLER
+    prev_qmc = srng.QMC
     slights.ENV_SAMPLER = opts.get_str("envSampler", slights.ENV_SAMPLER)
     # --sampler=kron: Cranley-Patterson-rotated Kronecker lattice instead
     # of independent pcg4d draws — lower RMSE at equal spp (core/rng.py)
-    from stratum_tpu.core import rng as srng
-
     srng.QMC = opts.get_str("sampler", srng.QMC)
+    try:
+        return _render_and_write(
+            opts, scene, stats, view, cfg, integrator_name, width, height,
+            spp, seed, t_flatten,
+        )
+    finally:
+        slights.ENV_SAMPLER = prev_env_sampler
+        srng.QMC = prev_qmc
+
+
+def _render_and_write(
+    opts, scene, stats, view, cfg, integrator_name, width, height, spp,
+    seed, t_flatten,
+):
+    from stratum_tpu.io.image import save_image
+    from stratum_tpu.render import integrator as sintegrator
+    from stratum_tpu.render import tonemap as stonemap
 
     t0 = time.time()
     if opts.has("debug"):
