@@ -37,3 +37,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(1234)
+
+
+_TESTS_RUN = {"n": 0}
+
+
+def pytest_runtest_setup(item):
+    """jaxlib on this box segfaults inside compile-cache reads once a
+    process has accumulated ~200 tests of live executables (reproduced at
+    the same POSITION across different tests; every module passes in
+    shorter runs). Dropping jax's in-memory executable caches periodically
+    keeps the process young; the warm disk cache makes re-loads cheap."""
+    _TESTS_RUN["n"] += 1
+    if _TESTS_RUN["n"] % 100 == 0:
+        jax.clear_caches()
