@@ -20,6 +20,13 @@ TOOLS = [
     ("leafpack", ["tools/sweep_leafpack.py", "--spp=3"]),
     ("envsampler", ["tools/profile_envsampler.py", "--spp=3"]),
     ("shadowrr", ["tools/sweep_shadowrr.py", "--spp=3"]),
+    ("bench_lanes2", ["bench.py", "--lanes=2"]),
+    ("bench_lanes4", ["bench.py", "--lanes=4"]),
+    ("bdpt_hd", ["tools/profile_bdpt.py", "--hd"]),
+    ("quality_colonnade", [
+        "tools/quality_bench.py", "--scene=colonnade", "--size=96",
+        "--refspp=256",
+    ]),
 ]
 
 
