@@ -89,6 +89,14 @@ SUBS = None
 # skipped slab slices save. Default 1 = gating off; the knob stays for
 # ablation (tests cover chunks in {4, 8} in interpret mode).
 CHUNKS = 1
+# Epilogue-only chunk gating: keep ONE full-slab matmul per surviving
+# sub-block (the [48,4K]x[48,128] pass is ~130 ns — negligible) and gate
+# the ~25-op VPU validity/argmin epilogue per intra-leaf chunk on the
+# per-chunk AABB pretests. This isolates the half of intra-leaf gating
+# that CHUNKS>1 could not: that mode also split the matmul into per-chunk
+# passes, which is where it measured its 1.5-3x loss (sweep_chunks.py).
+# Requires the flat (chunks=1) slab layout. Default set by tools/sweep_epi.
+EPI = 1
 
 
 def _effective_chunks(leaf_size: int, requested: int | None = None) -> int:
@@ -206,12 +214,11 @@ def _pretest(geom, aabb_s, slot, row, best_row):
     return jnp.any((tn <= tf) & (tn < best_row))
 
 
-def _mt_quants(rays, slab, k, mode="x3"):
-    """One MXU contraction -> sign-normalized MT quantities [K, B] (no
-    predicated reciprocal for the validity mask; the division survives only
-    for the ordering value). See MT_MODE. For "c48" both operands arrive
-    pre-banded in bf16 ([48, *]) and a single C=48 pass computes all three
-    split products."""
+def _mt_matmul(rays, slab, mode="x3"):
+    """The MXU contraction alone: [C, 4K] slab x [C, B] rays -> [4K, B]
+    products. See MT_MODE. For "c48" both operands arrive pre-banded in
+    bf16 ([48, *]) and a single C=48 pass computes all three split
+    products in the f32 accumulator."""
     dims = (((0,), (0,)), ((), ()))
 
     def dot(a, b):
@@ -220,25 +227,26 @@ def _mt_quants(rays, slab, k, mode="x3"):
         )
 
     if mode == "c48":
-        out = dot(slab, rays)  # [48,4K] x [48,B] bf16, f32 acc, one pass
-    elif mode == "auto":
-        out = dot(slab, rays)  # f32 inputs, Mosaic picks the fast path
-    elif mode == "fast":
-        out = dot(slab.astype(jnp.bfloat16), rays.astype(jnp.bfloat16))
-    elif mode == "x3":
+        return dot(slab, rays)  # [48,4K] x [48,B] bf16, f32 acc, one pass
+    if mode == "auto":
+        return dot(slab, rays)  # f32 inputs, Mosaic picks the fast path
+    if mode == "fast":
+        return dot(slab.astype(jnp.bfloat16), rays.astype(jnp.bfloat16))
+    if mode == "x3":
         s_hi = slab.astype(jnp.bfloat16)
         s_lo = (slab - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         r_hi = rays.astype(jnp.bfloat16)
         r_lo = (rays - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = dot(s_hi, r_hi) + (dot(s_hi, r_lo) + dot(s_lo, r_hi))
-    else:  # "f32"
-        out = jax.lax.dot_general(
-            slab, rays, dims, precision=lax.Precision.HIGHEST
-        )  # [4K, B]
-    a = out[0 * k : 1 * k, :]
-    u_num = out[1 * k : 2 * k, :]
-    v_num = out[2 * k : 3 * k, :]
-    t_num = out[3 * k : 4 * k, :]
+        return dot(s_hi, r_hi) + (dot(s_hi, r_lo) + dot(s_lo, r_hi))
+    return jax.lax.dot_general(
+        slab, rays, dims, precision=lax.Precision.HIGHEST
+    )  # "f32": [4K, B]
+
+
+def _mt_classify(a, u_num, v_num, t_num):
+    """Sign-normalized MT validity from the four product rows [K, B] (no
+    predicated reciprocal for the validity mask; the division survives only
+    for the ordering value)."""
     s = jnp.sign(a)
     abs_a = a * s
     su = u_num * s
@@ -254,10 +262,66 @@ def _mt_quants(rays, slab, k, mode="x3"):
     return abs_a, stn, base_valid
 
 
+def _mt_quants(rays, slab, k, mode="x3"):
+    """Matmul + classify for one slab slice (the chunks>1 / epi=1 path)."""
+    out = _mt_matmul(rays, slab, mode)
+    return _mt_classify(
+        out[0 * k : 1 * k, :], out[1 * k : 2 * k, :],
+        out[2 * k : 3 * k, :], out[3 * k : 4 * k, :],
+    )
+
+
+def _select_update(valid, stn, abs_a, best_ref, slot_ref, lo_c, sw,
+                   slot_base, packed_argmin):
+    """Commit the per-ray winner of one classified slice [ke, sw] into
+    best_ref/slot_ref (shared by the epi=1 commit and the per-chunk gated
+    epilogue). slot_base = global slot id of the slice's first row."""
+    best_row = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
+    valid = valid & (stn < best_row * abs_a)
+    # Mosaic has no general gather: select the per-ray winner without one.
+    # Barycentrics of the winner are recomputed OUTSIDE the kernel from its
+    # feature row (one XLA gather) — keeping u/v here costs two more [K,B]
+    # reductions per visit.
+    if packed_argmin:
+        # positive floats order as ints: clear the low bits of t's bit
+        # pattern, pack the candidate index there, ONE min. Use +inf for
+        # misses: clearing T_MAX's low bits would make a no-hit visit
+        # compare strictly below best == T_MAX and commit a bogus hit
+        # (inf's low mantissa bits are already 0)
+        tt = jnp.where(
+            valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), jnp.inf
+        )
+        mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+        bits = jax.lax.bitcast_convert_type(tt, jnp.int32)
+        iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        packed = jnp.min(
+            (bits & mask) | iota_k, axis=0, keepdims=True
+        )  # [1, sw]
+        tk = jax.lax.bitcast_convert_type(packed & mask, jnp.float32)
+        kbest = (packed & ~mask).astype(jnp.float32)
+        closer = tk < best_row
+        slot_id = jnp.float32(slot_base) + kbest
+    else:
+        tt = jnp.where(
+            valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
+        )
+        kbest = jnp.argmin(tt, axis=0)  # [sw]
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, tt.shape, 0) == kbest[None, :]
+        ).astype(tt.dtype)
+        tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, sw]
+        closer = tk < best_row
+        slot_id = (slot_base + kbest).astype(jnp.float32)[None, :]
+    best_ref[0:1, lo_c : lo_c + sw] = jnp.where(closer, tk, best_row)
+    slot_ref[0:1, lo_c : lo_c + sw] = jnp.where(
+        closer, slot_id, slot_ref[0:1, lo_c : lo_c + sw]
+    )
+
+
 def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
             feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
             aabb_s, asem, best_ref, slot_ref, mode="x3",
-            packed_argmin=PACKED_ARGMIN, subs=1, chunks=1):
+            packed_argmin=PACKED_ARGMIN, subs=1, chunks=1, epi=1):
     b = pl.program_id(0)
     _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
@@ -297,7 +361,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
     def adma(slot, c):
         src = (
             aabb_hbm.at[cand_at(c)]
-            if chunks > 1
+            if chunks > 1 or epi > 1
             else aabb_hbm.at[cand_at(c) // 8]
         )
         return pltpu.make_async_copy(src, aabb_s.at[slot], asem.at[slot])
@@ -340,22 +404,25 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         # epilogue work for the (128-lane sub-block, intra-leaf chunk)
         # pairs whose rays can still reach that slice of the leaf —
         # incoherent waves typically want 1-2 of 4 sub-blocks, and a
-        # wanting sub typically reaches 1-2 of the 8 chunk boxes
+        # wanting sub typically reaches 1-2 of the 8 chunk boxes.
+        # epi > 1 gates at the same (sub, chunk) granularity but only the
+        # VPU epilogue — the matmul stays one full-slab pass per sub.
         sw = B // subs
+        gch = chunks if chunks > 1 else epi
         wants = [
             [
                 _pretest(
                     geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
-                    j if chunks > 1 else lax.rem(leaf, 8),
+                    j if gch > 1 else lax.rem(leaf, 8),
                     best_ref[0:1, s * sw : (s + 1) * sw],
                 )
-                for j in range(chunks)
+                for j in range(gch)
             ]
             for s in range(subs)
         ]
         nexec = wants[0][0].astype(jnp.int32)
         for s in range(subs):
-            for j in range(chunks):
+            for j in range(gch):
                 if s == 0 and j == 0:
                     continue
                 nexec = nexec + wants[s][j].astype(jnp.int32)
@@ -363,63 +430,45 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         slab = banded_slab(slot)
 
         def commit(lo_c, col0):
-            best_row = best_ref[0:1, lo_c : lo_c + sw]  # [1, sw]
             abs_a, stn, base_valid = _mt_quants(
                 rays_mm[:, lo_c : lo_c + sw],
                 slab[:, col0 : col0 + 4 * kc], kc, mode,
             )
-            valid = base_valid & (stn < best_row * abs_a)
-            # Mosaic has no general gather: select the per-ray winner
-            # without one. Barycentrics of the winner are recomputed
-            # OUTSIDE the kernel from its feature row (one XLA gather) —
-            # keeping u/v here costs two more [K,B] reductions per visit.
-            if packed_argmin:
-                # positive floats order as ints: clear the low bits of t's
-                # bit pattern, pack the candidate index there, ONE min.
-                # Use +inf for misses: clearing T_MAX's low bits would make
-                # a no-hit visit compare strictly below best == T_MAX and
-                # commit a bogus hit (inf's low mantissa bits are already 0)
-                tt = jnp.where(
-                    valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), jnp.inf
-                )
-                mask = jnp.int32(~((1 << _IDX_BITS) - 1))
-                bits = jax.lax.bitcast_convert_type(tt, jnp.int32)
-                iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-                packed = jnp.min(
-                    (bits & mask) | iota_k, axis=0, keepdims=True
-                )  # [1, sw]
-                tk = jax.lax.bitcast_convert_type(
-                    packed & mask, jnp.float32
-                )
-                kbest = (packed & ~mask).astype(jnp.float32)
-                closer = tk < best_row
-                slot_id = jnp.float32(leaf * k + col0 // 4) + kbest
-            else:
-                tt = jnp.where(
-                    valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), T_MAX
-                )
-                kbest = jnp.argmin(tt, axis=0)  # [sw]
-                onehot = (
-                    lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-                    == kbest[None, :]
-                ).astype(tt.dtype)
-                tk = jnp.sum(tt * onehot, axis=0, keepdims=True)  # [1, sw]
-                closer = tk < best_row
-                slot_id = (
-                    leaf * k + col0 // 4 + kbest
-                ).astype(jnp.float32)[None, :]
-            best_ref[0:1, lo_c : lo_c + sw] = jnp.where(
-                closer, tk, best_row
-            )
-            slot_ref[0:1, lo_c : lo_c + sw] = jnp.where(
-                closer, slot_id, slot_ref[0:1, lo_c : lo_c + sw]
-            )
+            _select_update(base_valid, stn, abs_a, best_ref, slot_ref,
+                           lo_c, sw, leaf * k + col0 // 4, packed_argmin)
 
-        for s in range(subs):
-            for j in range(chunks):
-                pl.when(wants[s][j])(
-                    functools.partial(commit, s * sw, j * 4 * kc)
+        def commit_epi(lo_c, want_row):
+            # one full-slab MXU pass; per-chunk gated epilogue on its four
+            # quantity row slices (flat layout: a(K) | u(K) | v(K) | t(K))
+            out = _mt_matmul(rays_mm[:, lo_c : lo_c + sw], slab, mode)
+            ke = k // epi
+            for j in range(epi):
+                @pl.when(want_row[j])
+                def _(j=j):
+                    abs_a, stn, base_valid = _mt_classify(
+                        out[0 * k + j * ke : 0 * k + (j + 1) * ke, :],
+                        out[1 * k + j * ke : 1 * k + (j + 1) * ke, :],
+                        out[2 * k + j * ke : 2 * k + (j + 1) * ke, :],
+                        out[3 * k + j * ke : 3 * k + (j + 1) * ke, :],
+                    )
+                    _select_update(base_valid, stn, abs_a, best_ref,
+                                   slot_ref, lo_c, sw, leaf * k + j * ke,
+                                   packed_argmin)
+
+        if epi > 1:
+            for s in range(subs):
+                want_any = wants[s][0]
+                for j in range(1, epi):
+                    want_any = want_any | wants[s][j]
+                pl.when(want_any)(
+                    functools.partial(commit_epi, s * sw, wants[s])
                 )
+        else:
+            for s in range(subs):
+                for j in range(chunks):
+                    pl.when(wants[s][j])(
+                        functools.partial(commit, s * sw, j * 4 * kc)
+                    )
 
         return nxt, jnp.max(best_ref[...]), nex + nexec
 
@@ -451,7 +500,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
 def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
                 aabb_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
                 csem, aabb_s, asem, best_ref, slot_ref, mode="x3",
-                subs=1, chunks=1):
+                subs=1, chunks=1, epi=1):
     """Any-hit variant: a committed hit zeroes the ray's t bound, so the
     front-to-back loop exits as soon as every ray is blocked (or no
     candidate leaf starts inside a surviving segment) — the reference's
@@ -491,7 +540,7 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     def adma(slot, c):
         src = (
             aabb_hbm.at[cand_at(c)]
-            if chunks > 1
+            if chunks > 1 or epi > 1
             else aabb_hbm.at[cand_at(c) // 8]
         )
         return pltpu.make_async_copy(src, aabb_s.at[slot], asem.at[slot])
@@ -528,14 +577,15 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         leaf = cand_at(c)
         adma(slot, c).wait()
         sw = B // subs
+        gch = chunks if chunks > 1 else epi
         wants = [
             [
                 _pretest(
                     geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
-                    j if chunks > 1 else lax.rem(leaf, 8),
+                    j if gch > 1 else lax.rem(leaf, 8),
                     best_ref[0:1, s * sw : (s + 1) * sw],
                 )
-                for j in range(chunks)
+                for j in range(gch)
             ]
             for s in range(subs)
         ]
@@ -552,11 +602,39 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
             blocked = jnp.any(valid, axis=0, keepdims=True)  # [1, sw]
             best_ref[0:1, lo_c : lo_c + sw] = jnp.where(blocked, 0.0, bound)
 
-        for s in range(subs):
-            for j in range(chunks):
-                pl.when(wants[s][j])(
-                    functools.partial(commit, s * sw, j * 4 * kc)
+        def commit_epi(lo_c, want_row):
+            out = _mt_matmul(rays_mm[:, lo_c : lo_c + sw], slab, mode)
+            ke = k // epi
+            for j in range(epi):
+                @pl.when(want_row[j])
+                def _(j=j):
+                    bound = best_ref[0:1, lo_c : lo_c + sw]
+                    abs_a, stn, base_valid = _mt_classify(
+                        out[0 * k + j * ke : 0 * k + (j + 1) * ke, :],
+                        out[1 * k + j * ke : 1 * k + (j + 1) * ke, :],
+                        out[2 * k + j * ke : 2 * k + (j + 1) * ke, :],
+                        out[3 * k + j * ke : 3 * k + (j + 1) * ke, :],
+                    )
+                    valid = base_valid & (stn < bound * abs_a)
+                    blocked = jnp.any(valid, axis=0, keepdims=True)
+                    best_ref[0:1, lo_c : lo_c + sw] = jnp.where(
+                        blocked, 0.0, bound
+                    )
+
+        if epi > 1:
+            for s in range(subs):
+                want_any = wants[s][0]
+                for j in range(1, epi):
+                    want_any = want_any | wants[s][j]
+                pl.when(want_any)(
+                    functools.partial(commit_epi, s * sw, wants[s])
                 )
+        else:
+            for s in range(subs):
+                for j in range(chunks):
+                    pl.when(wants[s][j])(
+                        functools.partial(commit, s * sw, j * 4 * kc)
+                    )
 
         return nxt, jnp.max(best_ref[...])
 
@@ -604,12 +682,13 @@ def _pack8(arr, fill):
     jax.jit,
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
-        "subs", "chunks",
+        "subs", "chunks", "epi",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
-                mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1):
+                mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1,
+                epi=1):
     nb, c_max = cand.shape
     if block % subs != 0:
         raise ValueError(
@@ -621,6 +700,16 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
         raise ValueError(
             f"leaf_size {k_leaf} must be a multiple of chunks ({chunks}); "
             "use _effective_chunks to pick a valid count"
+        )
+    if epi > 1 and chunks > 1:
+        raise ValueError(
+            "epi (epilogue-only chunk gating) requires the flat chunks=1 "
+            f"slab layout; got chunks={chunks}"
+        )
+    if epi > 1 and (k_leaf % epi != 0 or (k_leaf // epi) % 8 != 0):
+        raise ValueError(
+            f"leaf_size {k_leaf} must split into epi={epi} row slices of "
+            "a sublane-tile multiple (8); use _effective_chunks"
         )
     if (
         kernel_name == "closest"
@@ -638,11 +727,11 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
     kernel = (
         functools.partial(
             _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs,
-            chunks=chunks,
+            chunks=chunks, epi=epi,
         )
         if kernel_name == "closest"
         else functools.partial(
-            _kernel_occ, mode=mode, subs=subs, chunks=chunks
+            _kernel_occ, mode=mode, subs=subs, chunks=chunks, epi=epi
         )
     )
     return pl.pallas_call(
@@ -736,26 +825,41 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
     return rays, geom, order, sorted_entry, ncand, n
 
 
+def _resolve_epi(leaf_size: int, nc: int, epi_chunks: int | None) -> int:
+    """Epilogue-gating chunk count: defaults to the module EPI, constrained
+    like slab chunks (divides the leaf, lane-tile-aligned slices) and capped
+    at the 8 chunk-AABB rows FatBVH stores. Forced to 1 when the slab is
+    chunk-major (chunks>1 owns the gating then)."""
+    if nc > 1:
+        return 1
+    e = EPI if epi_chunks is None else epi_chunks
+    return _effective_chunks(leaf_size, min(max(e, 1), 8))
+
+
 def pallas_closest(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
-    chunks: int | None = None,
+    chunks: int | None = None, epi_chunks: int | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
-    must match ``chunks`` — both default to _effective_chunks(K))."""
+    must match ``chunks`` — both default to _effective_chunks(K)).
+    ``epi_chunks`` gates only the VPU epilogue per intra-leaf chunk (one
+    full-slab matmul per sub-block; see EPI)."""
     n = origin.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
+    epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
     rays, geom, cand, centry, ncand, n = _prepare(
         fat, origin, direction, t_min, t_max, block
     )
     out = _run_blocks(
-        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat, nc),
+        rays, geom, cand, centry, ncand,
+        pack_leaf_aabbs(fat, epi if epi > 1 else nc),
         leaf_feat_packed, interpret=interpret, block=block,
         mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
-        subs=_resolve_subs(subs, block), chunks=nc,
+        subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -798,20 +902,22 @@ def pallas_closest(
 def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
-    chunks: int | None = None,
+    chunks: int | None = None, epi_chunks: int | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
     (reference: shadow RayQuery first-commit, intersection.hlsli:192-239)."""
     limit = t_max * np.float32(1.0 - 1e-3)
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
+    epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
     rays, geom, cand, centry, ncand, n = _prepare(
         fat, origin, direction, t_min, limit, block
     )
     out = _run_blocks(
-        rays, geom, cand, centry, ncand, pack_leaf_aabbs(fat, nc),
+        rays, geom, cand, centry, ncand,
+        pack_leaf_aabbs(fat, epi if epi > 1 else nc),
         leaf_feat_packed, interpret=interpret, block=block,
         kernel_name="occluded", mode=MT_MODE,
-        subs=_resolve_subs(subs, block), chunks=nc,
+        subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

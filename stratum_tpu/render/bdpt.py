@@ -842,8 +842,12 @@ def render_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
 
 
 # pixels per chunk before the [N, depth] subpath arrays (~1 KB/pixel with
-# connection temporaries) threaten a 16G chip; 1080p runs as 4 chunks
-CHUNK_PIXELS = 1 << 19
+# connection temporaries) threaten a 16G chip; 1080p runs as 8 chunks.
+# 1<<19 (4 chunks) measured OOM on the 16G v5e with lvc=4+presample — XLA
+# keeps ~20 [chunk,24] HLO-temp copies of the shading gathers alive across
+# the connection loop, so the budget is set by temps, not the subpath
+# arrays themselves.
+CHUNK_PIXELS = 1 << 18
 
 
 @partial(jax.jit, static_argnums=(2, 7))

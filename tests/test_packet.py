@@ -201,6 +201,42 @@ def test_pallas_tracer_chunked(rng_np, subs, chunks):
     assert (op == ob).mean() > 0.995
 
 
+@pytest.mark.parametrize("subs,epi", [(1, 8), (2, 4), (2, 2)])
+def test_pallas_tracer_epi_gated(rng_np, subs, epi):
+    """Epilogue-only chunk gating (one full-slab matmul per sub, per-chunk
+    gated VPU epilogue) is EXACTLY equal to the ungated kernel for both
+    closest and occluded — the gating must only skip work pretests prove
+    irrelevant, never change a commit."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 2000)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=256)
+    feat = pallas_trace.pack_leaf_features(fat)  # flat layout
+    o, d = _random_rays(rng_np, 512)
+    h0 = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, subs=subs, epi_chunks=1
+    )
+    he = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, subs=subs, epi_chunks=epi
+    )
+    assert np.array_equal(np.asarray(h0.tri), np.asarray(he.tri))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(he.t))
+    t_max = jnp.asarray((rng_np.random(512) * 10).astype(np.float32))
+    o0 = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, t_max, block=256, interpret=True,
+            subs=subs, epi_chunks=1,
+        )
+    )
+    oe = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, t_max, block=256, interpret=True,
+            subs=subs, epi_chunks=epi,
+        )
+    )
+    np.testing.assert_array_equal(o0, oe)
+
+
 def test_leaf_packing_fill_and_parity(rng_np):
     """Fill-aware leaf packing (pack_leaf_segments): merged segments stay
     within leaf_size, cover the same triangle order, raise mean fill, and
