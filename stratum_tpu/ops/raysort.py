@@ -44,12 +44,12 @@ def ray_key(origin, direction, t_max, lo, hi, dir_bits: int = DIR_BITS):
         ax = jnp.abs(direction)
         dom = jnp.argmax(ax, axis=-1)
         denom = jnp.maximum(jnp.max(ax, axis=-1), 1e-9)
-        u1 = jnp.take_along_axis(
-            direction, ((dom + 1) % 3)[:, None], axis=-1
-        )[:, 0] / denom
-        v1 = jnp.take_along_axis(
-            direction, ((dom + 2) % 3)[:, None], axis=-1
-        )[:, 0] / denom
+        # pick the two non-dominant components with selects, NOT
+        # take_along_axis: two dynamic row gathers cost ~28 ms per 2M-ray
+        # wave on TPU (~7 ns/row) while three wheres are free
+        dx, dy, dz = direction[..., 0], direction[..., 1], direction[..., 2]
+        u1 = jnp.where(dom == 0, dy, jnp.where(dom == 1, dz, dx)) / denom
+        v1 = jnp.where(dom == 0, dz, jnp.where(dom == 1, dx, dy)) / denom
 
         def qb(x, b):
             return jnp.clip(
@@ -97,20 +97,24 @@ def sorted_trace_fns(closest, occluded, lo, hi, dir_bits: int = DIR_BITS):
             tm = jnp.full(o.shape[:1], T_MAX, jnp.float32)
         os_, ds_, ts_, inv = _order(o, d, tm)
         h = closest(os_, ds_, ts_)
-        # tri gets its OWN int32 gather. Riding the packed float gather
-        # via bitcast_convert_type corrupts it on TPU: triangle ids
-        # bitcast to f32 are denormal/NaN bit patterns, and the XLA:TPU
-        # gather path canonicalizes them (measured: 95% of ids mangled
-        # on the atrium while the plain t column roundtrips exactly).
-        # A value-cast is no better (ids >= 2^24 lose bits), so the
-        # one-packed-gather purity loses to a 4-byte/row second gather.
+        # ONE packed inverse gather, in uint32 space. The floats ride as
+        # raw bits (f32 -> uint32 bitcast) because an f32-typed gather
+        # canonicalizes denormal/NaN patterns on TPU — riding int32 tri
+        # ids through an f32 gather mangled 95% of them on the atrium.
+        # Integer gathers copy bits verbatim, so t/bary roundtrip exactly
+        # and tri needs no second gather pass (~16 ms per 2M-ray wave).
         packed = jnp.concatenate(
-            [h.t[:, None], h.bary], axis=-1
-        )[inv]  # one inverse gather for the float record
+            [
+                jax.lax.bitcast_convert_type(h.t[:, None], jnp.uint32),
+                jax.lax.bitcast_convert_type(h.bary, jnp.uint32),
+                jax.lax.bitcast_convert_type(h.tri[:, None], jnp.uint32),
+            ],
+            axis=-1,
+        )[inv]  # [N, 4] uint32
         return HitRecord(
-            t=packed[:, 0],
-            tri=h.tri[inv],
-            bary=packed[:, 1:3],
+            t=jax.lax.bitcast_convert_type(packed[:, 0], jnp.float32),
+            tri=jax.lax.bitcast_convert_type(packed[:, 3], jnp.int32),
+            bary=jax.lax.bitcast_convert_type(packed[:, 1:3], jnp.float32),
         )
 
     def occluded_sorted(o, d, t):
