@@ -164,12 +164,25 @@ def resolved_tracer(scene: SceneData, cfg: RenderConfig) -> str:
 
 
 def _trace_fns(scene: SceneData, cfg: RenderConfig):
-    """Closest-hit / any-hit tracer pair. ``auto`` picks the MXU dense path
-    for small scenes and packet traversal for large ones; ``brute`` is the
-    exact oracle used by tests. Analytic spheres are merged in by a dense
-    quadratic pass over every tracer (reference: procedural sphere commits
-    inside the RayQuery loop, intersection.hlsli:105-117)."""
+    """Closest-hit / any-hit tracer pair (see _trace_fns3)."""
+    closest, _, occluded = _trace_fns3(scene, cfg)
+    return closest, occluded
+
+
+def _trace_fns3(scene: SceneData, cfg: RenderConfig):
+    """(closest, closest_unsorted, occluded) tracers. ``auto`` picks the MXU
+    dense path for small scenes and packet traversal for large ones;
+    ``brute`` is the exact oracle used by tests. Analytic spheres are merged
+    in by a dense quadratic pass over every tracer (reference: procedural
+    sphere commits inside the RayQuery loop, intersection.hlsli:105-117).
+
+    ``closest_unsorted`` skips the trace-local re-sort (ops/raysort): the
+    PRIMARY wave is already tile-coherent and its sort key degenerates (all
+    origins are the camera, so only the 5 direction bits act), so the
+    integrator peels bounce 0 onto this variant and saves the ~60 ms/wave
+    sort machinery. Identical results — the sort never changes hits."""
     closest, occluded = _trace_fns_tris(scene, cfg)
+    closest_u = closest
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
         from stratum_tpu.ops import raysort
 
@@ -177,31 +190,34 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
         hi = jnp.max(scene.geo.positions, axis=0)
         closest, _ = raysort.sorted_trace_fns(closest, occluded, lo, hi)
     if scene.spheres.num_spheres == 0:
-        return closest, occluded
+        return closest, closest_u, occluded
     from stratum_tpu.ops import spheres as sspheres
     from stratum_tpu.ops.intersect import HitRecord
 
     sph = scene.spheres
     t_offset = scene.geo.num_triangles  # sphere sid -> packed row T + sid
 
-    def closest2(o, d, tm=None):
-        h = closest(o, d, tm)
-        t_s, sid, uv = sspheres.intersect_spheres(
-            sph.center, sph.radius, o, d, t_max=tm
-        )
-        closer = t_s < h.t
-        return HitRecord(
-            t=jnp.where(closer, t_s, h.t),
-            tri=jnp.where(closer, t_offset + sid, h.tri),
-            bary=jnp.where(closer[..., None], uv, h.bary),
-        )
+    def with_spheres(closest_fn):
+        def closest2(o, d, tm=None):
+            h = closest_fn(o, d, tm)
+            t_s, sid, uv = sspheres.intersect_spheres(
+                sph.center, sph.radius, o, d, t_max=tm
+            )
+            closer = t_s < h.t
+            return HitRecord(
+                t=jnp.where(closer, t_s, h.t),
+                tri=jnp.where(closer, t_offset + sid, h.tri),
+                bary=jnp.where(closer[..., None], uv, h.bary),
+            )
+
+        return closest2
 
     def occluded2(o, d, t):
         return occluded(o, d, t) | sspheres.occluded_spheres(
             sph.center, sph.radius, o, d, t
         )
 
-    return closest2, occluded2
+    return with_spheres(closest), with_spheres(closest_u), occluded2
 
 
 def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
@@ -440,7 +456,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         scene_hi = jnp.maximum(
             scene_hi, jnp.max(scene.spheres.center + r, axis=0)
         )
-    trace_closest, trace_occluded = _trace_fns(scene, cfg)
+    trace_closest, trace_closest_u, trace_occluded = _trace_fns3(scene, cfg)
     # deferring shadow rays pays off by amortizing the BVH tracers'
     # candidate prep across bounces; the dense MXU/brute paths have no prep
     # and only gain scatter traffic (measured: Cornell 4.5 -> 3.1 Mrays/s)
@@ -521,14 +537,15 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     else:
         light_tile = None
 
-    def bounce(carry, _, px_l=px, py_l=py):
+    def bounce(carry, _, px_l=px, py_l=py, closest_fn=None):
+        closest_fn = trace_closest if closest_fn is None else closest_fn
         (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
          n_rays, cone_dist) = carry
         n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
         # dead lanes trace a zero-length segment: packet/pallas blocks of
         # dead rays produce no candidates and exit immediately
         seg_max = jnp.where(alive, intersect.T_MAX, 0.0)
-        hit = trace_closest(origin, direction, seg_max)
+        hit = closest_fn(origin, direction, seg_max)
         if cfg.alpha_test and scene.textures.resolution > 1:
             # transparent hits continue: sample the alpha mask at each hit
             # and re-trace past cut-out texels (bounded retries; the
@@ -551,7 +568,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     origin + direction * (hit.t * 1.0001 + 1e-4)[..., None],
                     origin,
                 )
-                hit2 = trace_closest(
+                hit2 = closest_fn(
                     re_origin, direction,
                     jnp.where(transparent, seg_max, 0.0),
                 )
@@ -1030,7 +1047,10 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         shadow_parts = []
         nb_prev = n
         for b in range(cfg.max_bounces + 1):
-            carry, shadow_batch = bounce(carry, None, px_l=px_l, py_l=py_l)
+            carry, shadow_batch = bounce(
+                carry, None, px_l=px_l, py_l=py_l,
+                closest_fn=trace_closest_u if b == 0 else trace_closest,
+            )
             if shadow_batch is not None:
                 shadow_parts.append((shadow_batch, pid))
             if b == cfg.max_bounces:
@@ -1062,13 +1082,35 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             img = img.at[pid[dropped]].add(rad_c[dropped])
             n_alive = jnp.sum(alive_c, dtype=jnp.float32)
             split_w = jnp.maximum(n_alive / np.float32(nb_next), 1.0)
+            # compact through TWO packed row gathers (one f32, one uint32)
+            # instead of 11 per-array gathers — the per-row gather cost is
+            # width-independent (~7 ns/row), so 11 separate passes cost
+            # ~10x more than the packs (this overhead is what made
+            # compaction measure NEGATIVE before)
+            fpack = jnp.concatenate(
+                [
+                    origin_c, direction_c, beta_c, rad_c,
+                    prev_pdf_c[:, None], cone_c[:, None],
+                ],
+                axis=-1,
+            )[kept]  # [nb_next, 14]
+            upack = jnp.concatenate(
+                [
+                    st_c,
+                    alive_c.astype(jnp.uint32)[:, None],
+                    pid.astype(jnp.uint32)[:, None],
+                    px_l[:, None].astype(jnp.uint32),
+                    py_l[:, None].astype(jnp.uint32),
+                ],
+                axis=-1,
+            )[kept]  # [nb_next, 8]
             carry = (
-                origin_c[kept], direction_c[kept],
-                beta_c[kept] * split_w, rad_c[kept], alive_c[kept],
-                prev_pdf_c[kept], st_c[kept], depth_c, n_rays_c,
-                cone_c[kept],
+                fpack[:, 0:3], fpack[:, 3:6], fpack[:, 6:9] * split_w,
+                fpack[:, 9:12], upack[:, 4] > 0, fpack[:, 12],
+                upack[:, 0:4], depth_c, n_rays_c, fpack[:, 13],
             )
-            pid, px_l, py_l = pid[kept], px_l[kept], py_l[kept]
+            pid = upack[:, 5].astype(jnp.int32)
+            px_l, py_l = upack[:, 6], upack[:, 7]
             nb_prev = nb_next
         radiance_out = img.at[pid].add(carry[3])
         if cfg.use_nee and cfg.defer_shadows and shadow_parts:
@@ -1101,9 +1143,23 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 ].add(jnp.concatenate(tail_contrib))
         return radiance_out, carry[8]
 
+    # peel bounce 0 out of the scan: the primary wave is tile-coherent
+    # already and every origin is the camera, so the trace-local sort is a
+    # pure tax there (~60 ms/spp at 1080p) — bounce 0 runs the unsorted
+    # tracer, the scan keeps the sorted one. Same bounce body, same RNG
+    # stream: results are bit-identical.
+    peel = trace_closest_u is not trace_closest
+    if peel:
+        carry, shadow_b0 = bounce(carry, None, closest_fn=trace_closest_u)
     carry, shadow_ys = lax.scan(
-        bounce, carry, None, length=cfg.max_bounces + 1
+        bounce, carry, None,
+        length=cfg.max_bounces + (0 if peel else 1),
     )
+    if peel and cfg.use_nee and cfg.defer_shadows:
+        shadow_ys = jax.tree.map(
+            lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+            shadow_b0, shadow_ys,
+        )
     radiance_out = carry[3]
 
     if cfg.use_nee and cfg.defer_shadows:

@@ -105,8 +105,30 @@ def main():
 
     @jax.jit
     def gather_out(t, bary, tri, inv):
-        packed = jnp.concatenate([t[:, None], bary], axis=-1)[inv]
-        return packed, tri[inv]
+        # mirrors closest_sorted: one packed uint32 inverse gather
+        packed = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(t[:, None], jnp.uint32),
+                jax.lax.bitcast_convert_type(bary, jnp.uint32),
+                jax.lax.bitcast_convert_type(tri[:, None], jnp.uint32),
+            ],
+            axis=-1,
+        )[inv]
+        return packed
+
+    @jax.jit
+    def scatter_out(t, bary, tri, order):
+        # candidate alternative: scatter sorted rows back instead of
+        # gathering by the inverse permutation (saves building inv)
+        packed = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(t[:, None], jnp.uint32),
+                jax.lax.bitcast_convert_type(bary, jnp.uint32),
+                jax.lax.bitcast_convert_type(tri[:, None], jnp.uint32),
+            ],
+            axis=-1,
+        )
+        return jnp.zeros_like(packed).at[order].set(packed)
 
     k = keyfn(o, d, tm)
     order = sortfn(k)
@@ -118,7 +140,8 @@ def main():
     print(f"argsort u32 [{n}]    : {timed(sortfn, k)*1e3:7.2f} ms")
     print(f"inv perm [{n}]       : {timed(inv_of, order)*1e3:7.2f} ms")
     print(f"gather in [N,8]      : {timed(gather_in, o, d, tm, order)*1e3:7.2f} ms")
-    print(f"gathers out [N,4]+[N]: {timed(gather_out, t, bary, tri, inv)*1e3:7.2f} ms")
+    print(f"gather out [N,4] u32 : {timed(gather_out, t, bary, tri, inv)*1e3:7.2f} ms")
+    print(f"scatter out (no inv) : {timed(scatter_out, t, bary, tri, order)*1e3:7.2f} ms")
     return 0
 
 
