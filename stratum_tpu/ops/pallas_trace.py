@@ -89,6 +89,16 @@ SUBS = None
 # skipped slab slices save. Default 1 = gating off; the knob stays for
 # ablation (tests cover chunks in {4, 8} in interpret mode).
 CHUNKS = 1
+# Hierarchical candidate prep: entry distances are computed against GROUPS
+# of this many DFS-adjacent leaves instead of individual leaves, then each
+# hit group expands to its member leaves (same order, shared entry). The
+# host-side entry pass + argsort shrink by the group factor — that pass is
+# what made small leaves lose end-to-end (K=1024 was chosen for its 3.5x
+# cheaper prep, not its kernel time) — while the kernel's per-(sub, leaf)
+# AABB pretest gates the expanded members that the block cannot reach.
+# Group entries are lower bounds of member entries (group box contains the
+# leaf box), so the front-to-back early exit stays conservative/correct.
+ENTRY_GROUP = 1
 # Epilogue-only chunk gating: keep ONE full-slab matmul per surviving
 # sub-block (the [48,4K]x[48,128] pass is ~130 ns — negligible) and gate
 # the ~25-op VPU validity/argmin epilogue per intra-leaf chunk on the
@@ -774,12 +784,14 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
     )(ncand.reshape(-1), rays, geom, cand8, centry8, aabb, leaf_feat)
 
 
-def _prepare(fat, origin, direction, t_min, t_max, block):
+def _prepare(fat, origin, direction, t_min, t_max, block, entry_group=None):
     from stratum_tpu.ops import mxu as smxu
     from stratum_tpu.ops import packet as spacket
 
     n = origin.shape[0]
     L = fat.leaf_tri.shape[0]
+    eg = ENTRY_GROUP if entry_group is None else entry_group
+    eg = max(1, min(eg, L))
     nb = -(-n // block)
     nb = -(-nb // 8) * 8  # group-of-8 alignment for the entry pass
     pad = nb * block - n
@@ -789,16 +801,32 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
     )
     tm = jnp.pad(t_max, (0, pad)).reshape(nb, block)
 
+    if eg > 1:
+        # hierarchical entries (see ENTRY_GROUP): one AABB per group of eg
+        # DFS-adjacent leaves; the pass and argsort run at L/eg width
+        G = -(-L // eg)
+        big = jnp.float32(3.0e37)
+        glo = jnp.pad(
+            fat.leaf_lo, ((0, G * eg - L), (0, 0)), constant_values=big
+        ).reshape(G, eg, 3).min(axis=1)
+        ghi = jnp.pad(
+            fat.leaf_hi, ((0, G * eg - L), (0, 0)), constant_values=-big
+        ).reshape(G, eg, 3).max(axis=1)
+        efat = fat._replace(leaf_lo=glo, leaf_hi=ghi)
+    else:
+        G = L
+        efat = fat
+
     entries = lax.map(
         lambda args: jax.vmap(
-            lambda ob, db, tb: spacket._block_entries(fat, ob, db, t_min, tb)
+            lambda ob, db, tb: spacket._block_entries(efat, ob, db, t_min, tb)
         )(*args),
         (
             o.reshape(-1, 8, block, 3),
             d.reshape(-1, 8, block, 3),
             tm.reshape(-1, 8, block),
         ),
-    ).reshape(nb, L)
+    ).reshape(nb, G)
     order = jnp.argsort(entries, axis=1).astype(jnp.int32)
     sorted_entry = jnp.take_along_axis(entries, order, axis=1)
     ncand = jnp.sum(jnp.isfinite(sorted_entry), axis=1, keepdims=True).astype(
@@ -807,6 +835,17 @@ def _prepare(fat, origin, direction, t_min, t_max, block):
     sorted_entry = jnp.where(
         jnp.isfinite(sorted_entry), sorted_entry, jnp.float32(3.0e38)
     )
+    if eg > 1:
+        # expand each sorted group to its member leaves (shared entry).
+        # Tail members past L duplicate leaf L-1 — the kernel pretest
+        # gates them and duplicate commits are idempotent.
+        order = jnp.minimum(
+            order[:, :, None] * eg
+            + jnp.arange(eg, dtype=jnp.int32)[None, None, :],
+            L - 1,
+        ).reshape(nb, G * eg)
+        sorted_entry = jnp.repeat(sorted_entry, eg, axis=1)
+        ncand = ncand * eg
     rf = smxu.ray_features(o.reshape(-1, 3), d.reshape(-1, 3)).reshape(
         nb, block, 10
     )
@@ -840,19 +879,21 @@ def pallas_closest(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
+    entry_group: int | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
     must match ``chunks`` — both default to _effective_chunks(K)).
     ``epi_chunks`` gates only the VPU epilogue per intra-leaf chunk (one
-    full-slab matmul per sub-block; see EPI)."""
+    full-slab matmul per sub-block; see EPI). ``entry_group`` > 1 computes
+    block entries hierarchically (see ENTRY_GROUP)."""
     n = origin.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
     rays, geom, cand, centry, ncand, n = _prepare(
-        fat, origin, direction, t_min, t_max, block
+        fat, origin, direction, t_min, t_max, block, entry_group
     )
     out = _run_blocks(
         rays, geom, cand, centry, ncand,
@@ -903,6 +944,7 @@ def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
+    entry_group: int | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
@@ -911,7 +953,7 @@ def pallas_occluded(
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
     rays, geom, cand, centry, ncand, n = _prepare(
-        fat, origin, direction, t_min, limit, block
+        fat, origin, direction, t_min, limit, block, entry_group
     )
     out = _run_blocks(
         rays, geom, cand, centry, ncand,

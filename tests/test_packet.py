@@ -201,6 +201,41 @@ def test_pallas_tracer_chunked(rng_np, subs, chunks):
     assert (op == ob).mean() > 0.995
 
 
+@pytest.mark.parametrize("eg", [3, 4, 8])
+def test_pallas_tracer_entry_group(rng_np, eg):
+    """Hierarchical candidate prep (entry_group > 1: group-level entry
+    pass expanded to member leaves) commits the same hits as the exact
+    per-leaf entry pass — group entries are conservative lower bounds, so
+    only the visit ORDER may differ (t must match exactly; tri can differ
+    on exact-tie hits only). eg=3 exercises the clamped tail group."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 2000)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=128)
+    feat = pallas_trace.pack_leaf_features(fat)
+    o, d = _random_rays(rng_np, 512)
+    h0 = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, entry_group=1
+    )
+    hg = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, entry_group=eg
+    )
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hg.t))
+    assert (np.asarray(h0.tri) == np.asarray(hg.tri)).mean() > 0.995
+    t_max = jnp.asarray((rng_np.random(512) * 10).astype(np.float32))
+    o0 = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, t_max, block=256, interpret=True, entry_group=1
+        )
+    )
+    og = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, t_max, block=256, interpret=True, entry_group=eg
+        )
+    )
+    np.testing.assert_array_equal(o0, og)
+
+
 @pytest.mark.parametrize("subs,epi", [(1, 8), (2, 4), (2, 2)])
 def test_pallas_tracer_epi_gated(rng_np, subs, epi):
     """Epilogue-only chunk gating (one full-slab matmul per sub, per-chunk
