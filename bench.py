@@ -128,8 +128,10 @@ def main() -> int:
 
         @jax.jit
         def closest(o, d):
+            # block=2048 is the production tracer block (integrator.py);
+            # the old 512 probe under-reported the ceiling by ~30%
             h = spallas.pallas_closest(
-                scene.fat_bvh, scene.leaf_feat_packed, o, d, block=512
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, block=2048
             )
             return h.t.sum()
 

@@ -546,11 +546,14 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         # dead rays produce no candidates and exit immediately
         seg_max = jnp.where(alive, intersect.T_MAX, 0.0)
         hit = closest_fn(origin, direction, seg_max)
-        if cfg.alpha_test and scene.textures.resolution > 1:
+        from stratum_tpu.render import texture as stex
+
+        if cfg.alpha_test and scene.textures.resolution > 1 and (
+            scene.textures.uses(stex.SLOT_ALPHA)
+        ):
             # transparent hits continue: sample the alpha mask at each hit
             # and re-trace past cut-out texels (bounded retries; the
             # reference does this inside the RayQuery candidate loop)
-            from stratum_tpu.render import texture as stex
 
             for _retry in range(3):
                 sp_a = make_shading_point(geo, hit.tri, hit.bary, direction)

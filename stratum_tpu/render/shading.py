@@ -134,6 +134,8 @@ def apply_normal_map(sp: ShadingPoint, materials, textures, lod=None):
     (unchanged where no normal texture)."""
     from stratum_tpu.render import texture as stex
 
+    if not textures.uses(stex.SLOT_NORMAL):
+        return sp.shading_normal  # no normal map anywhere in the scene
     r = jnp.maximum(sp.material, 0)
     tex_id = materials.normal_tex[r]
     nm = stex.sample_bilinear(textures, tex_id, sp.uv, lod)
@@ -183,21 +185,28 @@ def apply_textures(
 
     r = jnp.maximum(material_row, 0)
     row = materials.packed[r]
-    bc = stex.sample_bilinear(
-        textures, row[..., 14].astype(jnp.int32), uv, lod
-    )
-    em = stex.sample_bilinear(
-        textures, row[..., 15].astype(jnp.int32), uv, lod
-    )
-    rm = stex.sample_bilinear(
-        textures, row[..., 16].astype(jnp.int32), uv, lod
-    )
-    return mat._replace(
-        base_color=mat.base_color * bc[..., :3],
-        emission=mat.emission * em[..., :3],
-        roughness=jnp.clip(mat.roughness * rm[..., 1], 1e-3, 1.0),
-        metallic=jnp.clip(mat.metallic * rm[..., 2], 0.0, 1.0),
-    )
+    # each slot is sampled only if SOME material in the scene binds it
+    # (static slot_mask): a tap for an unbound slot costs the same 8
+    # gathers x num_lanes as a real one and returns 1.0 everywhere
+    if textures.uses(stex.SLOT_BASE_COLOR):
+        bc = stex.sample_bilinear(
+            textures, row[..., 14].astype(jnp.int32), uv, lod
+        )
+        mat = mat._replace(base_color=mat.base_color * bc[..., :3])
+    if textures.uses(stex.SLOT_EMISSION):
+        em = stex.sample_bilinear(
+            textures, row[..., 15].astype(jnp.int32), uv, lod
+        )
+        mat = mat._replace(emission=mat.emission * em[..., :3])
+    if textures.uses(stex.SLOT_ROUGH_METAL):
+        rm = stex.sample_bilinear(
+            textures, row[..., 16].astype(jnp.int32), uv, lod
+        )
+        mat = mat._replace(
+            roughness=jnp.clip(mat.roughness * rm[..., 1], 1e-3, 1.0),
+            metallic=jnp.clip(mat.metallic * rm[..., 2], 0.0, 1.0),
+        )
+    return mat
 
 
 def load_material(materials: DisneyMaterials, material_row) -> MaterialSample:

@@ -30,27 +30,48 @@ import numpy as np
 
 DEFAULT_RES = 512
 
+# slot_mask bits: which material texture slots are used ANYWHERE in the
+# scene. Texture sampling is gather-bound (~7 ns/row x 2M lanes x 8 rows
+# per trilinear tap), and a tap for a slot NO material binds (e.g. normal
+# maps in a diffuse-textured scene) still pays full price on every lane —
+# the static mask lets integrators drop those taps at trace time.
+SLOT_BASE_COLOR = 1
+SLOT_EMISSION = 2
+SLOT_ROUGH_METAL = 4
+SLOT_NORMAL = 8
+SLOT_ALPHA = 16
+SLOT_ALL = 31
+
 
 @jax.tree_util.register_pytree_node_class
 class TextureStack:
     """Flat mip atlas. ``flat`` is [sum_l K*(R>>l)^2, 4] float16; level l's
     block starts at a statically known row offset and holds K images of
     resolution R>>l in [K, r, r] row-major order. Static metadata
-    (resolution, level count, texture count) rides pytree aux_data so
-    integrators can branch on it at trace time."""
+    (resolution, level count, texture count, used-slot mask) rides pytree
+    aux_data so integrators can branch on it at trace time."""
 
-    def __init__(self, flat, base_res: int, num_levels: int, num_tex: int):
+    def __init__(
+        self, flat, base_res: int, num_levels: int, num_tex: int,
+        slot_mask: int = SLOT_ALL,
+    ):
         self.flat = flat
         self.base_res = int(base_res)
         self.num_levels = int(num_levels)
         self.num_tex = int(num_tex)
+        self.slot_mask = int(slot_mask)
 
     def tree_flatten(self):
-        return (self.flat,), (self.base_res, self.num_levels, self.num_tex)
+        return (self.flat,), (
+            self.base_res, self.num_levels, self.num_tex, self.slot_mask,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
+
+    def uses(self, slot_bit: int) -> bool:
+        return bool(self.slot_mask & slot_bit)
 
     @property
     def num_textures(self) -> int:

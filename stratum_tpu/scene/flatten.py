@@ -365,6 +365,23 @@ def flatten(root: Node, env_probability: float = 0.5,
     else:
         res = 512
     textures = build_texture_stack(tex_images, res=res)
+    # static used-slot mask: integrators drop the taps of slots no material
+    # binds (e.g. normal/ORM maps in a diffuse-only scene) — texture taps
+    # are gather-bound and cost the same on every lane whether bound or not
+    from stratum_tpu.render import texture as stex_mod
+
+    mask = 0
+    if np.any(mat_fields["base_color_tex"] >= 0):
+        mask |= stex_mod.SLOT_BASE_COLOR
+    if np.any(mat_fields["emission_tex"] >= 0):
+        mask |= stex_mod.SLOT_EMISSION
+    if np.any(mat_fields["rough_metal_tex"] >= 0):
+        mask |= stex_mod.SLOT_ROUGH_METAL
+    if np.any(mat_fields["normal_tex"] >= 0):
+        mask |= stex_mod.SLOT_NORMAL
+    if np.any(mat_fields["alpha_tex"] >= 0):
+        mask |= stex_mod.SLOT_ALPHA
+    textures.slot_mask = mask
 
     # environment
     has_env = env_component is not None and (
@@ -462,15 +479,16 @@ def flatten(root: Node, env_probability: float = 0.5,
         geo.positions, geo.indices, geo.tri_material >= 0
     )
     # prefer the native SAH builder (tighter leaves); fall back to Morton.
-    # leaf_size 1024 measured best END-TO-END for the c48 Pallas kernel
-    # (atrium e2e 1215/1156/1116 ms/spp at K=256/512/1024): fewer leaves
-    # make the per-wave candidate entries pass ~3.5x cheaper, outweighing
-    # the slightly slower isolated closest wave (260 vs 215 ms at 2M rays).
-    # 1024 == the packed-argmin index budget (pallas_trace._IDX_BITS)
-    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=1024)
+    # leaf_size 512 measured best END-TO-END once the trace-local sort tax
+    # was cut and bounce 0 peeled (tools/perf_ksweep, atrium block=2048:
+    # e2e 2100/1829/1810/1883 ms/spp at K=128/256/512/1024; isolated
+    # closest 95/69/67/73 ms, closest+shadow 178/123/113/117). The old
+    # K=1024 choice was carried by the per-wave candidate-entries cost,
+    # which no longer dominates.
+    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=512)
     if fat_bvh is None:
         fat_bvh = build_fat_bvh(
-            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=1024
+            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=512
         )
     from stratum_tpu.render.medium import build_media
     from stratum_tpu.ops.pallas_trace import pack_leaf_features

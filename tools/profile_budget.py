@@ -43,8 +43,14 @@ def main():
     from stratum_tpu.scene import builtin, flatten
 
     scene_name = opts.get_str("scene", "atrium")
-    g = getattr(builtin, scene_name)() if scene_name != "cornell" \
-        else builtin.cornell_box()
+    if scene_name == "cornell":
+        g = builtin.cornell_box()
+    elif scene_name == "colonnade":
+        from stratum_tpu.scene import sample_assets
+
+        g, _info = sample_assets.load_colonnade("/tmp/stratum_colonnade_bench")
+    else:
+        g = getattr(builtin, scene_name)()
     scene, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
@@ -70,6 +76,18 @@ def main():
             lambda s, _c=cfg: integrator.render_path(scene, view, _c, s), 1
         )
         print(f"{name:28s}: {dt*1e3:8.1f} ms/spp")
+
+    if scene.textures.resolution > 1:
+        # texture share: same bench config on the scene with the sentinel
+        # (resolution-1) stack — the integrator's texture block compiles out
+        from stratum_tpu.render.texture import build_texture_stack
+
+        scene_nt = scene._replace(textures=build_texture_stack([]))
+        cfg = integrator.RenderConfig(**{**base, "coherent_tiles": 16})
+        dt = timed(
+            lambda s: integrator.render_path(scene_nt, view, cfg, s), 1
+        )
+        print(f"{'bench, textures stripped':28s}: {dt*1e3:8.1f} ms/spp")
     return 0
 
 
