@@ -196,6 +196,9 @@ def main(argv=None) -> int:
         shadow_rr=opts.get_float("shadowRr", 0.0),
         # --clampIndirect=L: firefly suppression (biased, bounded)
         clamp_indirect=opts.get_float("clampIndirect", 0.0),
+        # --texFilter=stochastic: one mip per sample picked by the blend
+        # fraction (half the texture gathers, E == trilinear)
+        tex_filter=opts.get_str("texFilter", "trilinear"),
         # --waveCaps=1,1,0.5,0.125: cross-bounce stream compaction caps
         # (fraction of the launch width per bounce); see RenderConfig
         wave_caps=tuple(

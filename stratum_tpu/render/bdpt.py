@@ -669,13 +669,11 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
     for j in range(depth):
         esc_m = z_esc.mask[:, j]
         esc_dir = z_esc.direction[:, j]
-        le = slights.eval_environment(scene, esc_dir)
+        le, env_pdf = slights.env_eval_and_pdf_w_mis(scene, esc_dir)
         if j == 0:
             w_env = jnp.ones((n,), jnp.float32)
         else:
-            w_env = mis_power_heuristic(
-                z_esc.pdf_w[:, j], slights.env_pdf_w_mis(scene, esc_dir)
-            )
+            w_env = mis_power_heuristic(z_esc.pdf_w[:, j], env_pdf)
         radiance = radiance + jnp.where(
             esc_m[:, None], z_esc.beta[:, j] * le * w_env[:, None], 0.0
         )

@@ -129,6 +129,12 @@ class RenderConfig:
     coherent_block: int = 2048  # lanes per coherence granule; matches the
                                 # Pallas tracer's ray-block size so one
                                 # granule == one trace block
+    tex_filter: str = "trilinear"  # "trilinear" (8 gathers/tap, the
+                                   # reference's hardware filter) |
+                                   # "stochastic" (4 gathers/tap: pick the
+                                   # mip by the blend fraction per sample;
+                                   # E == trilinear, so progressive
+                                   # renders converge identically)
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -596,8 +602,14 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 jnp.maximum(sp.uv_area, 0.0)
             )
             lod = stex.ray_cone_lod(scene.textures, footprint)
+            if cfg.tex_filter == "stochastic":
+                u_tex, st = srng.next_floats(st, 1)
+                u_lod = u_tex[..., 0]
+            else:
+                u_lod = None
             mat = apply_textures(
-                mat, scene.materials, scene.textures, sp.material, sp.uv, lod
+                mat, scene.materials, scene.textures, sp.material, sp.uv,
+                lod, u_lod,
             )
             sp = sp._replace(
                 shading_normal=apply_normal_map(
@@ -622,8 +634,9 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
         # -- escaped rays: environment with MIS vs NEE ---------------------
         miss = alive & ~hit.hit & ~in_medium
-        env_le = slights.eval_environment(scene, direction)
-        env_nee_pdf = slights.env_pdf_w_mis(scene, direction)
+        env_le, env_nee_pdf = slights.env_eval_and_pdf_w_mis(
+            scene, direction
+        )
         if not cfg.use_nee:
             w_env = jnp.ones_like(env_nee_pdf)
         elif cfg.use_mis:

@@ -301,6 +301,32 @@ def env_pdf_w_mis(scene: SceneData, direction):
     return environment_pdf_w(scene, direction) * p_env
 
 
+def env_eval_and_pdf_w_mis(scene: SceneData, direction):
+    """(radiance, NEE pdf) of an escaped direction through ONE gather of
+    the fused [He, We, 4] emission+pdf table (Environment.emission_pdf) —
+    the separate eval + pdf path costs three row gathers per bounce on
+    every lane. Falls back to the split path under the mip sampler, whose
+    pdf is not the dist2d joint."""
+    if ENV_SAMPLER == "mip":
+        return (
+            eval_environment(scene, direction),
+            env_pdf_w_mis(scene, direction),
+        )
+    h, w = scene.env.emission.shape[:2]
+    uv = smath.cartesian_to_spherical_uv(direction)
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    row = scene.env.emission_pdf[y, x]  # the only gather
+    sin_theta = jnp.sqrt(
+        jnp.maximum(1.0 - direction[..., 1] * direction[..., 1], 1e-12)
+    )
+    pdf_w = row[..., 3] / (2.0 * jnp.pi * jnp.pi * sin_theta)
+    p_env = jnp.where(
+        scene.lights.num_lights > 0, scene.lights.env_probability, 1.0
+    )
+    return row[..., 0:3], pdf_w * p_env
+
+
 def sample_sphere_light_cone(scene: SceneData, ref_pos, u_sel, u1, u2):
     """Receiver-aware NEE sampling: sphere lights sample the subtended
     SOLID-ANGLE CONE (with the reference's small-angle fallback,

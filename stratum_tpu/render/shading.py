@@ -176,6 +176,7 @@ def apply_textures(
     material_row,
     uv,
     lod=None,
+    u_lod=None,
 ) -> MaterialSample:
     """Modulate constant material parameters by their textures
     (the ImageValue ``factor x texture`` composition, image_value.h:33-97;
@@ -190,17 +191,17 @@ def apply_textures(
     # gathers x num_lanes as a real one and returns 1.0 everywhere
     if textures.uses(stex.SLOT_BASE_COLOR):
         bc = stex.sample_bilinear(
-            textures, row[..., 14].astype(jnp.int32), uv, lod
+            textures, row[..., 14].astype(jnp.int32), uv, lod, u_lod
         )
         mat = mat._replace(base_color=mat.base_color * bc[..., :3])
     if textures.uses(stex.SLOT_EMISSION):
         em = stex.sample_bilinear(
-            textures, row[..., 15].astype(jnp.int32), uv, lod
+            textures, row[..., 15].astype(jnp.int32), uv, lod, u_lod
         )
         mat = mat._replace(emission=mat.emission * em[..., :3])
     if textures.uses(stex.SLOT_ROUGH_METAL):
         rm = stex.sample_bilinear(
-            textures, row[..., 16].astype(jnp.int32), uv, lod
+            textures, row[..., 16].astype(jnp.int32), uv, lod, u_lod
         )
         mat = mat._replace(
             roughness=jnp.clip(mat.roughness * rm[..., 1], 1e-3, 1.0),

@@ -167,11 +167,15 @@ def sample_nearest(stack: TextureStack, tex_id, uv, lod=None):
     return _sample(stack, tex_id, uv, lod, bilinear=False)
 
 
-def sample_bilinear(stack: TextureStack, tex_id, uv, lod=None):
+def sample_bilinear(stack: TextureStack, tex_id, uv, lod=None, u_lod=None):
     """Bi-/trilinear fetch. tex_id [N] int32, uv [N,2] in [0,1) (wrapped),
     lod integer (exact level) or float (trilinear blend of the two
-    adjacent levels). Returns [N,4] float32."""
-    return _sample(stack, tex_id, uv, lod, bilinear=True)
+    adjacent levels). ``u_lod`` [N] in [0,1): STOCHASTIC trilinear — pick
+    level l0 or l0+1 with probability equal to the blend fraction (one
+    bilinear tap, half the gathers; E over u_lod == the trilinear value,
+    so a progressive render converges to the same image). Returns [N,4]
+    float32."""
+    return _sample(stack, tex_id, uv, lod, bilinear=True, u_lod=u_lod)
 
 
 def _level_sample(stack, offs, tid, uv, lvl, bilinear):
@@ -209,7 +213,7 @@ def _level_sample(stack, offs, tid, uv, lvl, bilinear):
     )
 
 
-def _sample(stack, tex_id, uv, lod, bilinear):
+def _sample(stack, tex_id, uv, lod, bilinear, u_lod=None):
     n_levels = stack.num_levels
     valid = tex_id >= 0
     tid = jnp.maximum(tex_id, 0)
@@ -217,17 +221,25 @@ def _sample(stack, tex_id, uv, lod, bilinear):
         lod = jnp.zeros(uv.shape[:-1], jnp.int32)
     # float lod => TRILINEAR: blend the two adjacent mips (the reference's
     # hardware trilinear, image_value.h:81-97) — 8 gathers. Integer lod
-    # selects a single level exactly — 4 gathers.
+    # selects a single level exactly — 4 gathers. float lod + u_lod =>
+    # stochastic trilinear — 4 gathers, unbiased in expectation.
     trilinear = jnp.issubdtype(jnp.asarray(lod).dtype, jnp.floating)
     offs = jnp.asarray(stack.level_offsets(), jnp.int32)
     if trilinear:
         lod = jnp.clip(lod, 0.0, n_levels - 1)
         l0 = jnp.floor(lod).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, n_levels - 1)
-        f = (lod - l0.astype(jnp.float32))[..., None]
-        v0 = _level_sample(stack, offs, tid, uv, l0, bilinear)
-        v1 = _level_sample(stack, offs, tid, uv, l1, bilinear)
-        out = v0 * (1.0 - f) + v1 * f
+        f1 = lod - l0.astype(jnp.float32)
+        if u_lod is not None:
+            lvl = jnp.minimum(
+                l0 + (u_lod < f1).astype(jnp.int32), n_levels - 1
+            )
+            out = _level_sample(stack, offs, tid, uv, lvl, bilinear)
+        else:
+            l1 = jnp.minimum(l0 + 1, n_levels - 1)
+            f = f1[..., None]
+            v0 = _level_sample(stack, offs, tid, uv, l0, bilinear)
+            v1 = _level_sample(stack, offs, tid, uv, l1, bilinear)
+            out = v0 * (1.0 - f) + v1 * f
     else:
         lvl = jnp.clip(lod, 0, n_levels - 1)
         out = _level_sample(stack, offs, tid, uv, lvl, bilinear)

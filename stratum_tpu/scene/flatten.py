@@ -396,10 +396,8 @@ def flatten(root: Node, env_probability: float = 0.5,
             dist, mips = _env_tables(
                 lum, getattr(env_component, "source_path", None)
             )
-            env = schema.Environment(
-                emission=jnp.asarray(img),
-                dist=dist,
-                lum_mips=mips,
+            env = schema.make_environment(
+                emission=img, dist=dist, lum_mips=mips
             )
         else:
             env = schema.constant_environment(env_component.color)

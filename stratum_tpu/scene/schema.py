@@ -169,6 +169,11 @@ class Environment(NamedTuple):
     emission: jnp.ndarray  # f32 [He, We, 3] equirect radiance
     dist: Dist2D  # luminance * sin(theta) importance tables
     lum_mips: jnp.ndarray  # f32 [rows] flat sum-pyramid atlas (pow2 dims)
+    # rgb radiance + the dist2d joint uv pdf in ONE row, so the per-bounce
+    # escape path (radiance + MIS pdf) costs ONE gather instead of three
+    # (emission + marginal pdf + conditional pdf): XLA row gathers cost
+    # ~7 ns/row regardless of width, so op count is everything
+    emission_pdf: jnp.ndarray  # f32 [He, We, 4]
 
 
 class SceneData(NamedTuple):
@@ -304,12 +309,34 @@ def build_env_mips(lum: np.ndarray) -> np.ndarray:
     return np.concatenate([l.reshape(-1) for l in levels])
 
 
+def pack_emission_pdf(emission, dist: Dist2D) -> jnp.ndarray:
+    """[He, We, 4] = rgb radiance | dist2d joint uv pdf (the fused
+    one-gather row for the escape path; Environment.emission_pdf)."""
+    joint = (
+        jnp.asarray(dist.marginal.pdf)[:, None] * jnp.asarray(dist.cond_pdf)
+    )
+    return jnp.concatenate(
+        [jnp.asarray(emission), joint[..., None]], axis=-1
+    )
+
+
+def make_environment(emission, dist: Dist2D, lum_mips) -> Environment:
+    """Environment with the fused emission+pdf row precomputed."""
+    emission = jnp.asarray(emission)
+    return Environment(
+        emission=emission,
+        dist=dist,
+        lum_mips=jnp.asarray(lum_mips),
+        emission_pdf=pack_emission_pdf(emission, dist),
+    )
+
+
 def constant_environment(rgb=(0.0, 0.0, 0.0)) -> Environment:
     img = np.broadcast_to(np.asarray(rgb, np.float32), (1, 1, 3)).copy()
-    return Environment(
-        emission=jnp.asarray(img),
+    return make_environment(
+        emission=img,
         dist=build_dist2d(np.ones((1, 1), np.float32)),
-        lum_mips=jnp.asarray(build_env_mips(np.ones((1, 1), np.float32))),
+        lum_mips=build_env_mips(np.ones((1, 1), np.float32)),
     )
 
 

@@ -18,10 +18,10 @@ from stratum_tpu.scene import schema
 
 def _env_scene(img: np.ndarray) -> SimpleNamespace:
     lum = img @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
-    env = schema.Environment(
-        emission=jnp.asarray(img),
+    env = schema.make_environment(
+        emission=img,
         dist=build_env_dist2d(lum),
-        lum_mips=jnp.asarray(schema.build_env_mips(lum)),
+        lum_mips=schema.build_env_mips(lum),
     )
     return SimpleNamespace(env=env)
 
@@ -131,4 +131,21 @@ def test_mip_switch_in_sample_light(rng_np):
         lights.ENV_SAMPLER = old
     np.testing.assert_allclose(
         np.asarray(pdf), np.asarray(pdf_eval), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_env_fused_eval_pdf_matches_split(rng_np):
+    """env_eval_and_pdf_w_mis (one [H,W,4] gather) must agree exactly with
+    the separate eval_environment + env_pdf_w_mis path."""
+    scene = _env_scene(_random_env(rng_np))
+    scene.lights = SimpleNamespace(num_lights=0, env_probability=1.0)
+    n = 4096
+    d = rng_np.standard_normal((n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9))
+    le_f, pdf_f = lights.env_eval_and_pdf_w_mis(scene, d)
+    le_s = lights.eval_environment(scene, d)
+    pdf_s = lights.env_pdf_w_mis(scene, d)
+    np.testing.assert_array_equal(np.asarray(le_f), np.asarray(le_s))
+    np.testing.assert_allclose(
+        np.asarray(pdf_f), np.asarray(pdf_s), rtol=1e-6, atol=1e-9
     )

@@ -242,3 +242,40 @@ def test_ray_cone_lod_fractional():
         stack, jnp.asarray([3.0 / 16.0]), fractional=False
     )
     assert int(lod_i[0]) == 2  # ceil of log2(3)
+
+
+def test_stochastic_trilinear_unbiased():
+    """sample_bilinear(u_lod=u) picks mip l0 or l0+1 by the blend fraction:
+    its mean over u must equal the deterministic trilinear value, and u
+    pinned to the extremes must equal the pure l0 / l0+1 bilinear taps."""
+    img = np.random.default_rng(3).random((16, 16, 3)).astype(np.float32)
+    st = _stack_from(img, res=8)
+    tid = jnp.zeros((5,), jnp.int32)
+    uv = jnp.asarray(
+        np.random.default_rng(4).random((5, 2)), jnp.float32
+    )
+    lod = jnp.full((5,), 1.3, jnp.float32)
+    tri = np.asarray(stex.sample_bilinear(st, tid, uv, lod))
+    us = np.linspace(0.0005, 0.9995, 1000, dtype=np.float32)
+    acc = np.zeros_like(tri)
+    for u in us:
+        acc += np.asarray(
+            stex.sample_bilinear(
+                st, tid, uv, lod, u_lod=jnp.full((5,), u, jnp.float32)
+            )
+        )
+    np.testing.assert_allclose(acc / len(us), tri, atol=2e-3)
+    lo = np.asarray(
+        stex.sample_bilinear(
+            st, tid, uv, lod, u_lod=jnp.full((5,), 0.999, jnp.float32)
+        )
+    )
+    hi = np.asarray(
+        stex.sample_bilinear(
+            st, tid, uv, lod, u_lod=jnp.full((5,), 0.0, jnp.float32)
+        )
+    )
+    l0 = np.asarray(stex.sample_bilinear(st, tid, uv, jnp.full((5,), 1)))
+    l1 = np.asarray(stex.sample_bilinear(st, tid, uv, jnp.full((5,), 2)))
+    np.testing.assert_allclose(lo, l0, atol=1e-6)
+    np.testing.assert_allclose(hi, l1, atol=1e-6)

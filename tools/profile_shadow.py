@@ -165,6 +165,45 @@ def main():
     env = alive & l_env
     stats("area-only            ", origin, wi, jnp.where(area, dist, 0.0))
     stats("env-only             ", origin, wi, jnp.where(env, dist, 0.0))
+
+    # prep-only cost (entries pass + argsort + packing) and the
+    # hierarchical-prep variants on the coherent C=16 wave
+    @jax.jit
+    def prep_only(o, d, t, eg=1):
+        limit = t * np.float32(1.0 - 1e-3)
+        rays, geom, cand, centry, ncand, _ = spallas._prepare(
+            fat, o, d, 1e-4, limit, 2048, eg
+        )
+        return cand.sum() + ncand.sum() + rays.sum()
+
+    n_groups = t_tile // 16
+    base = jnp.minimum(
+        (u_grp * n_groups).astype(jnp.int32), n_groups - 1
+    ) * 16
+    idx2 = base + jnp.minimum((uu[..., 0] * 16).astype(jnp.int32), 15)
+    l_pos2, l_env2 = pos_s[idx2], env_s[idx2]
+    to_l2 = jnp.where(l_env2[:, None], l_pos2, l_pos2 - origin)
+    dist2 = jnp.where(l_env2, T_MAX * 0.5, smath.length(to_l2))
+    wi2 = jnp.where(
+        l_env2[:, None], l_pos2, to_l2 / jnp.maximum(dist2, 1e-20)[:, None]
+    )
+    dist2 = jnp.where(alive, dist2, 0.0)
+    dt, _ = timed(prep_only, origin, wi2, dist2)
+    print(f"prep only (C=16 wave): {dt*1e3:7.1f} ms")
+
+    def stats_eg(name, o, d, t, eg):
+        @jax.jit
+        def run(o, d, t):
+            return spallas.pallas_occluded(
+                fat, scene.leaf_feat_packed, o, d, t, block=2048,
+                entry_group=eg,
+            ).sum()
+
+        dt, _ = timed(run, o, d, t)
+        print(f"{name}: {dt*1e3:7.1f} ms ({n/dt/1e6:5.1f} Mr/s)")
+
+    for eg in (1, 8, 16):
+        stats_eg(f"coherent C=16 eg={eg:<3d}  ", origin, wi2, dist2, eg)
     return 0
 
 
