@@ -10,10 +10,12 @@ candidate loop inside ONE Pallas program:
   tile-padded 16 -> 128 lanes, an 8x HBM blowup);
 - the block's candidate leaf ids + entry distances (computed and sorted
   front-to-back by XLA once per wave) are DMA'd into SMEM at block start;
-- each visit first DMAs the leaf's AABB group ([8, 128] slab into SMEM,
-  double-buffered) and runs a per-ray slab pre-test against each ray's
-  CURRENT best-t: leaves no ray can improve on skip the matmul + epilogue
-  entirely;
+- each visit first runs a per-ray slab pre-test of the leaf's AABB against
+  each ray's CURRENT best-t: leaves no ray can improve on skip the matmul +
+  epilogue entirely. The whole per-leaf AABB table ([L, R, 8] f32, tens of
+  KB) rides the scalar-prefetch path and stays SMEM-resident — the per-visit
+  AABB DMA ring this replaces was pure fixed cost (start+wait+semaphore
+  per visit);
 - surviving visits DMA the leaf's packed feature slab [16, 4K] from HBM
   into a double-buffered VMEM scratch (the next leaf's DMA overlaps the
   current leaf's math) and run one [16,4K]^T x [16,B] MXU matmul at HIGHEST
@@ -149,35 +151,37 @@ def pack_leaf_features(
     feat = jnp.transpose(feat, (0, 1, 3, 2, 4))  # [L, 10, nc, 4, kc]
     feat = feat.reshape(L, 10, 4 * K)
     feat = jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
-    if mode != "c48":
+    if mode not in ("c48", "c48w"):
         return feat
     s_hi = feat.astype(jnp.bfloat16)
     s_lo = (feat - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if mode == "c48w":
+        # pre-banded [L, 48, 4K]: the kernel's per-visit concatenate of the
+        # third band is a [16, 4K] VMEM copy PER VISIT — measured to
+        # dominate the per-visit cost (see sweep_c48_config). 1.5x the DMA
+        # bytes of the [32, 4K] layout, but the double-buffered transfer
+        # was never the bound
+        return jnp.concatenate([s_hi, s_lo, s_hi], axis=1)
     return jnp.concatenate([s_hi, s_lo], axis=1)  # [L, 32, 4K]
 
 
 def pack_leaf_aabbs(fat, chunks: int | None = None) -> jnp.ndarray:
-    """FatBVH -> per-visit AABB DMA groups for the kernel pretests.
+    """FatBVH -> the kernel pretests' AABB table, SMEM-RESIDENT via the
+    scalar-prefetch path (the whole table is ~8 f32 per leaf — a few tens
+    of KB — so the per-visit [8,128] AABB DMA ring the kernel used to run
+    was pure fixed cost: one DMA start + wait + semaphore per visit).
 
-    chunks == 1: [ceil(L/8), 8, 128] f32 — leaf l's row is (l//8, l%8) =
-    (lo.xyz, hi.xyz, 0...) — [8, 128] groups (Mosaic DMA slices must be
-    lane-tile aligned); the kernel DMAs group leaf//8 per visit.
+    chunks == 1: [L, 1, 8] f32 — leaf l's row is (lo.xyz, hi.xyz, 0, 0).
 
-    chunks > 1: [L, 8, 128] f32 — row j of leaf l's group is chunk j's
-    (lo.xyz, hi.xyz, 0...) from FatBVH.leaf_chunk_aabb; the kernel DMAs
-    group `leaf` per visit and pretests each (sub, chunk) pair. Same
-    transfer size per visit either way."""
+    chunks > 1: [L, nc, 8] f32 — row j of leaf l is chunk j's
+    (lo.xyz, hi.xyz, 0, 0) from FatBVH.leaf_chunk_aabb."""
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     if nc == 1:
-        L = fat.leaf_lo.shape[0]
-        lp = -(-L // 8) * 8
-        big = jnp.float32(3.0e37)
-        lo = jnp.pad(fat.leaf_lo, ((0, lp - L), (0, 0)), constant_values=big)
-        hi = jnp.pad(fat.leaf_hi, ((0, lp - L), (0, 0)), constant_values=-big)
         rows = jnp.concatenate(
-            [lo, hi, jnp.zeros((lp, 122), jnp.float32)], axis=1
-        )  # [lp, 128]
-        return rows.reshape(lp // 8, 8, 128)
+            [fat.leaf_lo, fat.leaf_hi,
+             jnp.zeros((fat.leaf_lo.shape[0], 2), jnp.float32)], axis=1
+        )  # [L, 8]
+        return rows[:, None, :]
     ca = fat.leaf_chunk_aabb  # [L, 8, 6] (lo3 | hi3)
     if nc != ca.shape[1]:
         # coarsen build-time NUM_CHUNKS ranges into nc equal unions
@@ -186,8 +190,7 @@ def pack_leaf_aabbs(fat, chunks: int | None = None) -> jnp.ndarray:
         lo = ca[:, :, 0:3].reshape(L, nc, g, 3).min(axis=2)
         hi = ca[:, :, 3:6].reshape(L, nc, g, 3).max(axis=2)
         ca = jnp.concatenate([lo, hi], axis=-1)
-        ca = jnp.pad(ca, ((0, 0), (0, 8 - nc), (0, 0)))
-    return jnp.pad(ca, ((0, 0), (0, 0), (0, 122)))  # [L, 8, 128]
+    return jnp.pad(ca, ((0, 0), (0, 0), (0, 2)))  # [L, nc, 8]
 
 
 def _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem):
@@ -200,19 +203,21 @@ def _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem):
     pltpu.make_async_copy(centry_hbm.at[b], centry_s, csem.at[1]).wait()
 
 
-def _pretest(geom, aabb_s, slot, row, best_row):
+def _pretest(geom, aabb_sp, leaf, row, best_row):
     """Per-ray slab test of a leaf's AABB against each ray's CURRENT best-t
     — far tighter than the block-level entry test the host-side prep used.
-    geom is [8, B] (origin xyz / inv_dir xyz rows); returns a scalar: does
-    ANY ray still want this leaf? (~20 VPU ops on [1,B] vs ~20 on [K,B].)"""
+    geom is [8, B] (origin xyz / inv_dir xyz rows); the AABB comes from the
+    SMEM-resident scalar-prefetch table [L, R, 8] (no per-visit DMA).
+    Returns a scalar: does ANY ray still want this leaf?
+    (~20 VPU ops on [1,B] vs ~20 on [K,B].)"""
     ox, oy, oz = geom[0:1, :], geom[1:2, :], geom[2:3, :]
     ix, iy, iz = geom[3:4, :], geom[4:5, :], geom[5:6, :]
-    t0x = (aabb_s[slot, row, 0] - ox) * ix
-    t1x = (aabb_s[slot, row, 3] - ox) * ix
-    t0y = (aabb_s[slot, row, 1] - oy) * iy
-    t1y = (aabb_s[slot, row, 4] - oy) * iy
-    t0z = (aabb_s[slot, row, 2] - oz) * iz
-    t1z = (aabb_s[slot, row, 5] - oz) * iz
+    t0x = (aabb_sp[leaf, row, 0] - ox) * ix
+    t1x = (aabb_sp[leaf, row, 3] - ox) * ix
+    t0y = (aabb_sp[leaf, row, 1] - oy) * iy
+    t1y = (aabb_sp[leaf, row, 4] - oy) * iy
+    t0z = (aabb_sp[leaf, row, 2] - oz) * iz
+    t1z = (aabb_sp[leaf, row, 5] - oz) * iz
     tn = jnp.maximum(
         jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
         jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
@@ -222,6 +227,41 @@ def _pretest(geom, aabb_s, slot, row, best_row):
         jnp.maximum(t0z, t1z),
     )
     return jnp.any((tn <= tf) & (tn < best_row))
+
+
+def _pretest_word(geom, aabb_sp, leaf, best_ref, subs):
+    """All sub-blocks' pretests in ONE full-width [1, B] pass + ONE
+    vector->scalar sync: bit s of the returned word = does any ray of
+    sub-block s still want this leaf (same verdicts as ``subs`` calls to
+    _pretest, row 0). The per-sub loop of [1,128] pretests cost ~20 vector
+    ops x subs INSTRUCTION ISSUES plus subs jnp.any drains — the
+    vector->scalar pipeline drain per predicate was the dominant per-visit
+    cost (measured ~3.2 us/visit at subs=16 against ~0.1 us of actual
+    commit math). Also returns the want popcount for the exec counter."""
+    ox, oy, oz = geom[0:1, :], geom[1:2, :], geom[2:3, :]
+    ix, iy, iz = geom[3:4, :], geom[4:5, :], geom[5:6, :]
+    t0x = (aabb_sp[leaf, 0, 0] - ox) * ix
+    t1x = (aabb_sp[leaf, 0, 3] - ox) * ix
+    t0y = (aabb_sp[leaf, 0, 1] - oy) * iy
+    t1y = (aabb_sp[leaf, 0, 4] - oy) * iy
+    t0z = (aabb_sp[leaf, 0, 2] - oz) * iz
+    t1z = (aabb_sp[leaf, 0, 5] - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    hit = (tn <= tf) & (tn < best_ref[0:1, :])  # [1, B]
+    b = hit.shape[1]
+    h2 = hit.astype(jnp.int32).reshape(subs, b // subs)
+    anyb = jnp.minimum(jnp.sum(h2, axis=1, keepdims=True), 1)  # [subs, 1]
+    weights = jnp.left_shift(
+        jnp.int32(1), lax.broadcasted_iota(jnp.int32, (subs, 1), 0)
+    )
+    return jnp.sum(anyb * weights), jnp.sum(anyb)
 
 
 def _mt_matmul(rays, slab, mode="x3"):
@@ -236,7 +276,7 @@ def _mt_matmul(rays, slab, mode="x3"):
             a, b, dims, preferred_element_type=jnp.float32
         )
 
-    if mode == "c48":
+    if mode in ("c48", "c48w"):
         return dot(slab, rays)  # [48,4K] x [48,B] bf16, f32 acc, one pass
     if mode == "auto":
         return dot(slab, rays)  # f32 inputs, Mosaic picks the fast path
@@ -264,6 +304,11 @@ def _mt_classify(a, u_num, v_num, t_num):
     stn = t_num * s
     base_valid = (
         (abs_a > 1e-12)
+        # upper determinant bound: the commit's Newton reciprocal seed
+        # (exponent negation) flushes to a denormal-zero for |a| beyond
+        # ~1e38, which would commit a bogus t=0; MT determinants are
+        # cross-product magnitudes of scene-scale edges, far below this
+        & (abs_a < 1e37)
         & (su >= 0.0)
         & (sv >= 0.0)
         & (su + sv <= abs_a)
@@ -297,10 +342,21 @@ def _select_update(valid, stn, abs_a, best_ref, slot_ref, lo_c, sw,
         # pattern, pack the candidate index there, ONE min. Use +inf for
         # misses: clearing T_MAX's low bits would make a no-hit visit
         # compare strictly below best == T_MAX and commit a bogus hit
-        # (inf's low mantissa bits are already 0)
-        tt = jnp.where(
-            valid, stn / jnp.where(abs_a > 0.0, abs_a, 1.0), jnp.inf
+        # (inf's low mantissa bits are already 0).
+        # t = stn/abs_a via exponent-negation seed + 2 Newton steps
+        # (mul-only): the Mosaic f32 divide measured ~470 ns per [512,128]
+        # commit — 78% of the WHOLE epilogue — while this sequence is ~9
+        # VPU passes (~150 ns). Rel err <= 2^-17, below the packed-argmin
+        # low-bit clearing (2^-13) this mode already documents; invalid
+        # lanes (abs_a outside [1e-12, 1e37]) are masked to +inf.
+        r = lax.bitcast_convert_type(
+            jnp.int32(0x7EF311C3)
+            - lax.bitcast_convert_type(abs_a, jnp.int32),
+            jnp.float32,
         )
+        r = r * (2.0 - abs_a * r)
+        r = r * (2.0 - abs_a * r)
+        tt = jnp.where(valid, stn * r, jnp.inf)
         mask = jnp.int32(~((1 << _IDX_BITS) - 1))
         bits = jax.lax.bitcast_convert_type(tt, jnp.int32)
         iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
@@ -328,10 +384,11 @@ def _select_update(valid, stn, abs_a, best_ref, slot_ref, lo_c, sw,
     )
 
 
-def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
+def _kernel(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
             feat_hbm, out_ref, buf, dsem, cand_s, centry_s, csem,
-            aabb_s, asem, best_ref, slot_ref, mode="x3",
-            packed_argmin=PACKED_ARGMIN, subs=1, chunks=1, epi=1):
+            best_ref, slot_ref, mode="x3",
+            packed_argmin=PACKED_ARGMIN, subs=1, chunks=1, epi=1,
+            early_exit=False, gate_mode="normal"):
     b = pl.program_id(0)
     _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
@@ -343,7 +400,7 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
     rays_mm = jnp.where(
         lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
     )
-    if mode == "c48":
+    if mode in ("c48", "c48w"):
         # band the ray operand once per block: [r_hi; r_hi; r_lo] so one
         # C=48 pass against the pre-split slab bands [s_hi; s_lo; s_hi]
         # yields all three x3 split products in the MXU's f32 accumulator
@@ -368,17 +425,10 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
             feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
         )
 
-    def adma(slot, c):
-        src = (
-            aabb_hbm.at[cand_at(c)]
-            if chunks > 1 or epi > 1
-            else aabb_hbm.at[cand_at(c) // 8]
-        )
-        return pltpu.make_async_copy(src, aabb_s.at[slot], asem.at[slot])
-
     def banded_slab(slot):
         """Leaf slab as the matmul LHS; c48 appends the third band
-        ([s_hi; s_lo] -> [s_hi; s_lo; s_hi]) with one in-kernel copy."""
+        ([s_hi; s_lo] -> [s_hi; s_lo; s_hi]) with one in-kernel copy —
+        a per-visit [16, 4K] VMEM copy c48w avoids by pre-banding."""
         slab = buf[slot]
         if mode == "c48":
             slab = jnp.concatenate([slab, slab[0:FEAT_ROWS]], axis=0)
@@ -391,14 +441,23 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         @pl.when(n_cand > p)
         def _(p=p):
             dma(p, p).start()
-            adma(p, p).start()
 
     def cond(state):
         c, max_best, _nex = state
-        return (c < n_cand) & (centry_at(c) < max_best)
+        ok = c < n_cand
+        if early_exit:
+            # front-to-back exit once no candidate can beat the worst
+            # committed hit. Off by default for the closest kernel: on
+            # measured waves (primary AND sorted secondary) iters == cand
+            # — the exit never fires — while the jnp.max(best_ref) each
+            # body needs for it is a vector->scalar pipeline drain per
+            # visit (the occluded kernel keeps it: blocked rays zero
+            # their bound, so coherent shadow waves DO exit early).
+            ok = ok & (centry_at(c) < max_best)
+        return ok
 
     def body(state):
-        c, _, nex = state
+        c, max_best, nex = state
         slot = lax.rem(c, NBUF)
         nxt = c + 1
         pf = c + NBUF - 1  # prefetch NBUF-1 candidates ahead
@@ -406,10 +465,8 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         @pl.when(pf < n_cand)
         def _():
             dma(lax.rem(pf, NBUF), pf).start()
-            adma(lax.rem(pf, NBUF), pf).start()
 
         leaf = cand_at(c)
-        adma(slot, c).wait()
         # per-(SUB, CHUNK) pretests: a leaf only pays [kc, B/subs] matmul +
         # epilogue work for the (128-lane sub-block, intra-leaf chunk)
         # pairs whose rays can still reach that slice of the leaf —
@@ -417,25 +474,38 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         # wanting sub typically reaches 1-2 of the 8 chunk boxes.
         # epi > 1 gates at the same (sub, chunk) granularity but only the
         # VPU epilogue — the matmul stays one full-slab pass per sub.
+        # The default (gch == 1) path packs ALL sub verdicts into one
+        # scalar word — one vector->scalar sync per visit instead of subs.
         sw = B // subs
         gch = chunks if chunks > 1 else epi
-        wants = [
-            [
-                _pretest(
-                    geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
-                    j if gch > 1 else lax.rem(leaf, 8),
-                    best_ref[0:1, s * sw : (s + 1) * sw],
+        if gch == 1:
+            if gate_mode == "nogate":
+                word = jnp.int32((1 << subs) - 1)
+                nexec = jnp.int32(subs)
+            else:
+                word, nexec = _pretest_word(
+                    geom, aabb_sp, leaf, best_ref, subs
                 )
-                for j in range(gch)
+                if gate_mode == "forceall":
+                    word = word | jnp.int32((1 << subs) - 1)
+        else:
+            wants = [
+                [
+                    _pretest(
+                        geom[:, s * sw : (s + 1) * sw], aabb_sp, leaf,
+                        j if gch > 1 else 0,
+                        best_ref[0:1, s * sw : (s + 1) * sw],
+                    )
+                    for j in range(gch)
+                ]
+                for s in range(subs)
             ]
-            for s in range(subs)
-        ]
-        nexec = wants[0][0].astype(jnp.int32)
-        for s in range(subs):
-            for j in range(gch):
-                if s == 0 and j == 0:
-                    continue
-                nexec = nexec + wants[s][j].astype(jnp.int32)
+            nexec = wants[0][0].astype(jnp.int32)
+            for s in range(subs):
+                for j in range(gch):
+                    if s == 0 and j == 0:
+                        continue
+                    nexec = nexec + wants[s][j].astype(jnp.int32)
         dma(slot, c).wait()  # started unconditionally: always consume
         slab = banded_slab(slot)
 
@@ -473,14 +543,23 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
                 pl.when(want_any)(
                     functools.partial(commit_epi, s * sw, wants[s])
                 )
-        else:
+        elif chunks > 1:
             for s in range(subs):
                 for j in range(chunks):
                     pl.when(wants[s][j])(
                         functools.partial(commit, s * sw, j * 4 * kc)
                     )
+        elif gate_mode == "nogate":
+            for s in range(subs):
+                commit(s * sw, 0)
+        else:
+            for s in range(subs):
+                pl.when((word & (1 << s)) != 0)(
+                    functools.partial(commit, s * sw, 0)
+                )
 
-        return nxt, jnp.max(best_ref[...]), nex + nexec
+        new_max = jnp.max(best_ref[...]) if early_exit else max_best
+        return nxt, new_max, nex + nexec
 
     state = (jnp.asarray(0, jnp.int32), jnp.max(t_max),
              jnp.asarray(0, jnp.int32))
@@ -492,7 +571,6 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
         @pl.when(c_final + p < n_cand)
         def _(p=p):
             dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
-            adma(lax.rem(c_final + p, NBUF), c_final + p).wait()
 
     # rows 2/3: diagnostics — candidate iterations executed and matmul
     # visits actually run (tools/profile_visits.py)
@@ -507,9 +585,9 @@ def _kernel(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm, aabb_hbm,
     )
 
 
-def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
-                aabb_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
-                csem, aabb_s, asem, best_ref, slot_ref, mode="x3",
+def _kernel_occ(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
+                centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
+                csem, best_ref, slot_ref, mode="x3",
                 subs=1, chunks=1, epi=1):
     """Any-hit variant: a committed hit zeroes the ray's t bound, so the
     front-to-back loop exits as soon as every ray is blocked (or no
@@ -525,7 +603,7 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     rays_mm = jnp.where(
         lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
     )
-    if mode == "c48":
+    if mode in ("c48", "c48w"):
         r_hi = rays_mm.astype(jnp.bfloat16)
         r_lo = (rays_mm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)  # [48, B]
@@ -547,14 +625,6 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
             feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
         )
 
-    def adma(slot, c):
-        src = (
-            aabb_hbm.at[cand_at(c)]
-            if chunks > 1 or epi > 1
-            else aabb_hbm.at[cand_at(c) // 8]
-        )
-        return pltpu.make_async_copy(src, aabb_s.at[slot], asem.at[slot])
-
     def banded_slab(slot):
         slab = buf[slot]
         if mode == "c48":
@@ -567,7 +637,6 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         @pl.when(n_cand > p)
         def _(p=p):
             dma(p, p).start()
-            adma(p, p).start()
 
     def cond(state):
         c, max_bound = state
@@ -582,23 +651,24 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         @pl.when(pf < n_cand)
         def _():
             dma(lax.rem(pf, NBUF), pf).start()
-            adma(lax.rem(pf, NBUF), pf).start()
 
         leaf = cand_at(c)
-        adma(slot, c).wait()
         sw = B // subs
         gch = chunks if chunks > 1 else epi
-        wants = [
-            [
-                _pretest(
-                    geom[:, s * sw : (s + 1) * sw], aabb_s, slot,
-                    j if gch > 1 else lax.rem(leaf, 8),
-                    best_ref[0:1, s * sw : (s + 1) * sw],
-                )
-                for j in range(gch)
+        if gch == 1:
+            word, _nw = _pretest_word(geom, aabb_sp, leaf, best_ref, subs)
+        else:
+            wants = [
+                [
+                    _pretest(
+                        geom[:, s * sw : (s + 1) * sw], aabb_sp, leaf,
+                        j if gch > 1 else 0,
+                        best_ref[0:1, s * sw : (s + 1) * sw],
+                    )
+                    for j in range(gch)
+                ]
+                for s in range(subs)
             ]
-            for s in range(subs)
-        ]
         dma(slot, c).wait()
         slab = banded_slab(slot)
 
@@ -639,12 +709,17 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
                 pl.when(want_any)(
                     functools.partial(commit_epi, s * sw, wants[s])
                 )
-        else:
+        elif chunks > 1:
             for s in range(subs):
                 for j in range(chunks):
                     pl.when(wants[s][j])(
                         functools.partial(commit, s * sw, j * 4 * kc)
                     )
+        else:
+            for s in range(subs):
+                pl.when((word & (1 << s)) != 0)(
+                    functools.partial(commit, s * sw, 0)
+                )
 
         return nxt, jnp.max(best_ref[...])
 
@@ -655,7 +730,6 @@ def _kernel_occ(ncand_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
         @pl.when(c_final + p < n_cand)
         def _(p=p):
             dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
-            adma(lax.rem(c_final + p, NBUF), c_final + p).wait()
 
     blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
     # row 2: candidate iterations executed (diagnostics, profile tools)
@@ -692,13 +766,13 @@ def _pack8(arr, fill):
     jax.jit,
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
-        "subs", "chunks", "epi",
+        "subs", "chunks", "epi", "early_exit", "gate_mode",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
                 mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1,
-                epi=1):
+                epi=1, early_exit=False, gate_mode="normal"):
     nb, c_max = cand.shape
     if block % subs != 0:
         raise ValueError(
@@ -737,7 +811,8 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
     kernel = (
         functools.partial(
             _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs,
-            chunks=chunks, epi=epi,
+            chunks=chunks, epi=epi, early_exit=early_exit,
+            gate_mode=gate_mode,
         )
         if kernel_name == "closest"
         else functools.partial(
@@ -747,7 +822,10 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            # scalar-prefetch carries ncand AND the whole per-leaf AABB
+            # table ([L, R, 8] f32, a few tens of KB) — SMEM-resident, so
+            # pretests read it directly instead of a per-visit DMA ring
+            num_scalar_prefetch=2,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, 16, block), lambda b, *_: (b, 0, 0),
@@ -756,7 +834,6 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                              memory_space=pltpu.VMEM),  # geom [nb,8,B]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # cand8 [nb, 8, C8]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # centry8 [nb, 8, C8]
-                pl.BlockSpec(memory_space=pltpu.HBM),  # aabb [L/8, 8, 128]
                 pl.BlockSpec(memory_space=pltpu.HBM),  # leaf features
             ],
             out_specs=pl.BlockSpec((1, 4, block), lambda b, *_: (b, 0, 0),
@@ -767,8 +844,6 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 pltpu.SMEM((8, c8), jnp.int32),
                 pltpu.SMEM((8, c8), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((NBUF, 8, 128), jnp.float32),  # aabb ring
-                pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.VMEM((1, block), jnp.float32),  # best_ref
                 pltpu.VMEM((1, block), jnp.float32),  # slot_ref
             ],
@@ -781,7 +856,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             # larger (block, K) combinations that comfortably fit
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(ncand.reshape(-1), rays, geom, cand8, centry8, aabb, leaf_feat)
+    )(ncand.reshape(-1), aabb, rays, geom, cand8, centry8, leaf_feat)
 
 
 def _prepare(fat, origin, direction, t_min, t_max, block, entry_group=None):

@@ -79,7 +79,7 @@ def main():
 
     def report(name, o, d):
         base_exec = None
-        for subs in (8, 16, 32):
+        for subs in (1, 2, 4, 8, 16):
             out, dt = run_raw(o, d, subs)
             execs = np.asarray(out[:, 3, 0])
             iters = np.asarray(out[:, 2, 0])
