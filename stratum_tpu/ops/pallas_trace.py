@@ -101,6 +101,15 @@ CHUNKS = 1
 # Group entries are lower bounds of member entries (group box contains the
 # leaf box), so the front-to-back early exit stays conservative/correct.
 ENTRY_GROUP = 1
+# Closest-kernel front-to-back early exit (the occluded kernel always
+# keeps its own). On FULLY-ALIVE sorted waves the exit never fires and its
+# jnp.max(best) carry costs a vector->scalar drain per visit; on
+# partially-dead waves (after RR) it can cut visits. Measured e2e on the
+# atrium bench config: True 1332 vs False 1361 ms/spp — the post-RR sparse
+# waves win more than the per-visit sync costs on full waves (fully-alive
+# sorted secondary in isolation: False wins 137.1 vs ~142). Module-level so
+# the e2e A/B can flip it per process (a cached jit ignores runtime flips).
+EARLY_EXIT = True
 # Epilogue-only chunk gating: keep ONE full-slab matmul per surviving
 # sub-block (the [48,4K]x[48,128] pass is ~130 ns — negligible) and gate
 # the ~25-op VPU validity/argmin epilogue per intra-leaf chunk on the
@@ -954,7 +963,7 @@ def pallas_closest(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
-    entry_group: int | None = None,
+    entry_group: int | None = None, early_exit: bool | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
@@ -976,6 +985,7 @@ def pallas_closest(
         leaf_feat_packed, interpret=interpret, block=block,
         mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
+        early_exit=EARLY_EXIT if early_exit is None else early_exit,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
