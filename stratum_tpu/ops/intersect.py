@@ -35,6 +35,18 @@ class HitRecord(NamedTuple):
     t: jnp.ndarray  # f32 [N]; T_MAX on miss
     tri: jnp.ndarray  # i32 [N]; -1 on miss
     bary: jnp.ndarray  # f32 [N, 2] (u toward v1, v toward v2)
+    # optional fused hit payload [N, 88] (SceneData.slot_payload row of the
+    # winning slot: shading row | MT coeffs | tri | material row) — carried
+    # by the Pallas tracer when the caller passes a payload table, so the
+    # integrator's shading/material gathers collapse into the tracer's one
+    payload: jnp.ndarray | None = None
+    # slot-mode intermediate (Pallas tracer + slot_payload): the winning
+    # slot id [N] i32 (-1 miss) with tri/bary/payload NOT yet resolved —
+    # pallas_trace.finalize_hit turns this into a full record with ONE
+    # caller-order row gather. Sorted wrappers ride only (t, slot) through
+    # their inverse gather (riding the full 88-col payload measured 48
+    # ms/spp SLOWER e2e than re-gathering after the unsort)
+    slot: jnp.ndarray | None = None
 
     @property
     def hit(self):

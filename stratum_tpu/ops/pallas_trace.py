@@ -964,13 +964,18 @@ def pallas_closest(
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, early_exit: bool | None = None,
+    slot_payload=None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
     must match ``chunks`` — both default to _effective_chunks(K)).
     ``epi_chunks`` gates only the VPU epilogue per intra-leaf chunk (one
     full-slab matmul per sub-block; see EPI). ``entry_group`` > 1 computes
-    block entries hierarchically (see ENTRY_GROUP)."""
+    block entries hierarchically (see ENTRY_GROUP). ``slot_payload``
+    (SceneData.slot_payload): the fused [L*K, 88] hit-payload table — when
+    given, ONE row gather by the winning slot replaces this function's
+    feature + tri-id gathers and additionally returns the winner's shading
+    + material rows in HitRecord.payload."""
     n = origin.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
@@ -991,20 +996,31 @@ def pallas_closest(
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
     k = fat.leaf_tri.shape[1]
     hit = slot >= 0
+    from stratum_tpu.ops import mxu as smxu
+
+    if slot_payload is not None:
+        # SLOT MODE: defer tri/bary/payload to finalize_hit (one
+        # caller-order row gather AFTER any trace-local unsort) — riding
+        # resolved fields through the sorted wrapper's inverse gather
+        # measured strictly worse
+        return HitRecord(
+            t=jnp.where(hit, best, T_MAX),
+            tri=jnp.where(hit, 0, -1),
+            bary=jnp.zeros((n, 2), jnp.float32),
+            slot=slot,
+        )
+    rf = smxu.ray_features(origin, direction)  # [N, 10]
     tri = jnp.where(
         hit, fat.leaf_tri.reshape(-1)[jnp.maximum(slot, 0)], -1
     )
-    best_t = jnp.where(tri >= 0, best, T_MAX)
-    # barycentrics of the winner: one feature-row gather + a 10-dot — far
-    # cheaper than carrying two extra [K,B] reductions through every leaf
-    # visit inside the kernel
-    from stratum_tpu.ops import mxu as smxu
-
-    # one [N, 40] row gather; the contraction is strided elementwise ops
-    # (a batched [1,10]x[10,4] einsum lowers to tiny per-batch matmuls and
-    # measured ~50ms+ at 2M rays)
-    flat = fat.leaf_feat.reshape(-1, 40)[jnp.maximum(slot, 0)]  # [N, 40]
-    rf = smxu.ray_features(origin, direction)  # [N, 10]
+    payload = None
+    # barycentrics of the winner: one feature-row gather + a 10-dot —
+    # far cheaper than carrying two extra [K,B] reductions through
+    # every leaf visit inside the kernel.
+    # one [N, 40] row gather; the contraction is strided elementwise
+    # ops (a batched [1,10]x[10,4] einsum lowers to tiny per-batch
+    # matmuls and measured ~50ms+ at 2M rays)
+    flat = fat.leaf_feat.reshape(-1, 40)[jnp.maximum(slot, 0)]  # [N,40]
     a = jnp.zeros_like(best)
     u_num = jnp.zeros_like(best)
     v_num = jnp.zeros_like(best)
@@ -1012,6 +1028,7 @@ def pallas_closest(
         a = a + rf[:, f] * flat[:, f * 4 + 0]
         u_num = u_num + rf[:, f] * flat[:, f * 4 + 1]
         v_num = v_num + rf[:, f] * flat[:, f * 4 + 2]
+    best_t = jnp.where(tri >= 0, best, T_MAX)
     inv_a = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)
     bary = jnp.stack([u_num * inv_a, v_num * inv_a], axis=-1)
     bary = jnp.where(hit[:, None], bary, 0.0)
@@ -1019,10 +1036,38 @@ def pallas_closest(
     # precision (x3 split ~2^-21 relative; packed_argmin additionally clears
     # the low _IDX_BITS mantissa bits, <= 2^-13 relative) — both far below
     # the tracer's 1e-4 epsilon. Recomputing the winner's t exactly here
-    # (one extra t_num FMA chain off `flat`) was measured to cost ~190 ms
-    # per 2M-ray wave (XLA fusion regression: primary 111 -> 301 ms), so
-    # the kernel t is returned as-is.
-    return HitRecord(t=best_t, tri=tri, bary=bary)
+    # (one extra t_num FMA chain off the feature row) was measured to cost
+    # ~190 ms per 2M-ray wave (XLA fusion regression: primary 111 -> 301
+    # ms), so the kernel t is returned as-is.
+    return HitRecord(t=best_t, tri=tri, bary=bary, payload=payload)
+
+
+def finalize_hit(slot_payload, origin, direction, h: HitRecord) -> HitRecord:
+    """Resolve a slot-mode HitRecord (see pallas_closest ``slot_payload``)
+    into a full record with ONE [N, 88] row gather by the winning slot:
+    tri + barycentrics (MT coeff dot with the CALLER-ORDER ray features —
+    bit-identical to the classic sorted-space finalize) + the fused
+    shading/material payload. No-op for already-resolved records."""
+    if h.slot is None:
+        return h
+    from stratum_tpu.ops import mxu as smxu
+
+    slot = h.slot
+    hit = slot >= 0
+    payload = slot_payload[jnp.maximum(slot, 0)]  # [N, 88] — THE gather
+    tri = jnp.where(hit, payload[:, 62].astype(jnp.int32), -1)
+    rf = smxu.ray_features(origin, direction)  # [N, 10]
+    a = jnp.zeros_like(h.t)
+    u_num = jnp.zeros_like(h.t)
+    v_num = jnp.zeros_like(h.t)
+    for f in range(10):
+        a = a + rf[:, f] * payload[:, 32 + f * 3 + 0]
+        u_num = u_num + rf[:, f] * payload[:, 32 + f * 3 + 1]
+        v_num = v_num + rf[:, f] * payload[:, 32 + f * 3 + 2]
+    inv_a = jnp.where(jnp.abs(a) > 1e-12, 1.0 / a, 0.0)
+    bary = jnp.stack([u_num * inv_a, v_num * inv_a], axis=-1)
+    bary = jnp.where(hit[:, None], bary, 0.0)
+    return HitRecord(t=h.t, tri=tri, bary=bary, payload=payload, slot=None)
 
 
 def pallas_occluded(

@@ -103,6 +103,27 @@ def sorted_trace_fns(closest, occluded, lo, hi, dir_bits: int = DIR_BITS):
         # ids through an f32 gather mangled 95% of them on the atrium.
         # Integer gathers copy bits verbatim, so t/bary roundtrip exactly
         # and tri needs no second gather pass (~16 ms per 2M-ray wave).
+        # Slot-mode hits (Pallas + slot_payload) ride only (t, slot):
+        # tri/bary/payload resolve AFTER the unsort via finalize_hit's one
+        # caller-order gather (riding the full payload here measured 48
+        # ms/spp slower e2e).
+        if h.slot is not None:
+            packed = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(h.t[:, None], jnp.uint32),
+                    jax.lax.bitcast_convert_type(
+                        h.slot[:, None], jnp.uint32
+                    ),
+                ],
+                axis=-1,
+            )[inv]  # [N, 2] uint32
+            slot = jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32)
+            return HitRecord(
+                t=jax.lax.bitcast_convert_type(packed[:, 0], jnp.float32),
+                tri=jnp.where(slot >= 0, 0, -1),
+                bary=jnp.zeros((slot.shape[0], 2), jnp.float32),
+                slot=slot,
+            )
         packed = jnp.concatenate(
             [
                 jax.lax.bitcast_convert_type(h.t[:, None], jnp.uint32),

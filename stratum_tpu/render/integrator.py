@@ -195,6 +195,25 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
         lo = jnp.min(scene.geo.positions, axis=0)
         hi = jnp.max(scene.geo.positions, axis=0)
         closest, _ = raysort.sorted_trace_fns(closest, occluded, lo, hi)
+    if (
+        scene.slot_payload is not None
+        and resolved_tracer(scene, cfg) == "pallas"
+    ):
+        # slot-mode hits (see pallas_closest slot_payload): resolve
+        # tri/bary + the fused shading/material payload with ONE
+        # caller-order row gather, after any trace-local unsort
+        from stratum_tpu.ops import pallas_trace as spallas
+
+        def _fin(fn):
+            def g(o, d, tm=None):
+                return spallas.finalize_hit(
+                    scene.slot_payload, o, d, fn(o, d, tm)
+                )
+
+            return g
+
+        closest = _fin(closest)
+        closest_u = _fin(closest_u)
     if scene.spheres.num_spheres == 0:
         return closest, closest_u, occluded
     from stratum_tpu.ops import spheres as sspheres
@@ -251,7 +270,7 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
-                block=blk,
+                block=blk, slot_payload=scene.slot_payload,
             ),
             lambda o, d, t: spallas.pallas_occluded(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk
@@ -590,8 +609,25 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                     ),
                     hit2, hit,
                 )
-        sp = make_shading_point(geo, hit.tri, hit.bary, direction)
-        mat = load_material(scene.materials, sp.material)
+        if hit.payload is not None:
+            # fused path: the tracer already gathered the winner's shading
+            # + material rows (SceneData.slot_payload) — zero extra gathers
+            from stratum_tpu.render.shading import (
+                material_from_row,
+                shading_point_from_row,
+            )
+
+            sp = shading_point_from_row(
+                hit.payload[:, 0:32], hit.tri, hit.bary, direction
+            )
+            mat = material_from_row(hit.payload[:, 64:88])
+            payload_mat_row = hit.payload[:, 64:88]
+            payload_ntex = hit.payload[:, 63].astype(jnp.int32)
+        else:
+            sp = make_shading_point(geo, hit.tri, hit.bary, direction)
+            mat = load_material(scene.materials, sp.material)
+            payload_mat_row = None
+            payload_ntex = None
         # texture modulation with ray-cone mip LOD (static no-op for
         # untextured scenes: the sentinel stack has resolution 1)
         if scene.textures.resolution > 1:
@@ -609,11 +645,12 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
                 u_lod = None
             mat = apply_textures(
                 mat, scene.materials, scene.textures, sp.material, sp.uv,
-                lod, u_lod,
+                lod, u_lod, mat_row=payload_mat_row,
             )
             sp = sp._replace(
                 shading_normal=apply_normal_map(
-                    sp, scene.materials, scene.textures, lod
+                    sp, scene.materials, scene.textures, lod,
+                    tex_id=payload_ntex,
                 )
             )
 

@@ -43,6 +43,13 @@ def make_shading_point(
     independent of row width, so op count is everything."""
     safe_tri = jnp.maximum(tri, 0)
     row = geo.packed_tri[safe_tri]  # [N, 32] — the only gather
+    return shading_point_from_row(row, tri, bary, direction)
+
+
+def shading_point_from_row(row, tri, bary, direction) -> ShadingPoint:
+    """ShadingPoint from an already-gathered packed [N, 32] shading row —
+    the zero-gather path for tracers that return the fused slot payload
+    (SceneData.slot_payload cols 0-31). ``tri`` only masks misses (-1)."""
     p0 = row[..., 0:3]
     e1 = row[..., 3:6]
     e2 = row[..., 6:9]
@@ -127,17 +134,20 @@ def make_shading_point(
     )
 
 
-def apply_normal_map(sp: ShadingPoint, materials, textures, lod=None):
+def apply_normal_map(sp: ShadingPoint, materials, textures, lod=None,
+                     tex_id=None):
     """Perturb the shading normal by the material's tangent-space normal map
     with tangent re-orthonormalization (reference: DisneyMaterial::load
     bump path, disney_material.hlsli:46-79). Returns the new shading normal
-    (unchanged where no normal texture)."""
+    (unchanged where no normal texture). ``tex_id``: already-gathered
+    normal-texture ids (fused slot payload col 63) — skips the gather."""
     from stratum_tpu.render import texture as stex
 
     if not textures.uses(stex.SLOT_NORMAL):
         return sp.shading_normal  # no normal map anywhere in the scene
-    r = jnp.maximum(sp.material, 0)
-    tex_id = materials.normal_tex[r]
+    if tex_id is None:
+        r = jnp.maximum(sp.material, 0)
+        tex_id = materials.normal_tex[r]
     nm = stex.sample_bilinear(textures, tex_id, sp.uv, lod)
     n_ts = smath.normalize(nm[..., :3] * 2.0 - 1.0)
     n = sp.shading_normal
@@ -177,15 +187,20 @@ def apply_textures(
     uv,
     lod=None,
     u_lod=None,
+    mat_row=None,
 ) -> MaterialSample:
     """Modulate constant material parameters by their textures
     (the ImageValue ``factor x texture`` composition, image_value.h:33-97;
     roughness/metallic ride the glTF ORM layout: G=roughness B=metallic,
-    as converted by the reference's material_convert kernels)."""
+    as converted by the reference's material_convert kernels).
+    ``mat_row``: already-gathered packed material rows (the fused slot
+    payload) — skips this function's own gather."""
     from stratum_tpu.render import texture as stex
 
-    r = jnp.maximum(material_row, 0)
-    row = materials.packed[r]
+    if mat_row is None:
+        r = jnp.maximum(material_row, 0)
+        mat_row = materials.packed[r]
+    row = mat_row
     # each slot is sampled only if SOME material in the scene binds it
     # (static slot_mask): a tap for an unbound slot costs the same 8
     # gathers x num_lanes as a real one and returns 1.0 everywhere
@@ -216,6 +231,12 @@ def load_material(materials: DisneyMaterials, material_row) -> MaterialSample:
     yields row 0 + caller masking."""
     r = jnp.maximum(material_row, 0)
     row = materials.packed[r]
+    return material_from_row(row)
+
+
+def material_from_row(row) -> MaterialSample:
+    """MaterialSample from an already-gathered packed [N, 24] material row
+    (the fused slot payload's cols 64-87)."""
     return MaterialSample(
         base_color=row[..., 0:3],
         emission=row[..., 3:6],

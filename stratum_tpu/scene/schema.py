@@ -197,6 +197,19 @@ class SceneData(NamedTuple):
     # Scene.cpp:398-427 + scene.h InstanceData motion). Identity when the
     # scene was flattened without a prev_time.
     instance_motion: jnp.ndarray  # f32 [I, 3, 4]
+    # fused per-SLOT hit payload [L*K, 88] f32 (slot = leaf*K + k, the
+    # Pallas tracer's winner id): cols 0-31 packed_tri shading row of the
+    # slot's triangle, 32-61 its Moller-Trumbore a/u/v feature coeffs
+    # (f-major: col 32+f*3+q), 62 tri id as f32 (exact below 2^24; -1 =
+    # padding slot), 63 the material's normal-texture id, 64-87 the
+    # triangle's material row
+    # (DisneyMaterials.packed). ONE [N, 88]-row gather by slot replaces the
+    # tracer's feature + tri-id gathers AND the integrator's shading +
+    # material gathers: XLA row gathers cost ~7 ns/row REGARDLESS OF WIDTH
+    # (a [2M,96] gather == a [2M,32] gather == 24 ms), so four 14-24 ms
+    # gathers per bounce collapse into one. ~600 B/triangle of HBM;
+    # None when the scene has no fat BVH.
+    slot_payload: jnp.ndarray | None = None
 
 
 # ---------------------------------------------------------------------------

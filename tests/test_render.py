@@ -405,3 +405,52 @@ def test_firefly_clamp(cornell):
         scene, view, dataclasses.replace(d_cfg, clamp_indirect=0.0), 3))
     d_clamp = np.asarray(integrator.render_path(scene, view, d_cfg, 3))
     np.testing.assert_allclose(d_clamp, d_base, rtol=1e-6)
+
+
+def test_fused_payload_matches_classic(cornell):
+    """The fused slot-payload path (SceneData.slot_payload: ONE gather of
+    shading row + MT coeffs + tri + material row by the winning slot) must
+    reproduce the classic per-table gathers exactly: same hits from the
+    tracer, and identical ShadingPoint / MaterialSample from the payload
+    rows as from make_shading_point / load_material."""
+    import jax.numpy as jnp
+
+    from stratum_tpu.ops import pallas_trace
+    from stratum_tpu.render.shading import (
+        load_material,
+        make_shading_point,
+        material_from_row,
+        shading_point_from_row,
+    )
+
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 24, 24)
+    px, py = camera.pixel_grid(24, 24)
+    u = jnp.full((24 * 24, 2), 0.5, jnp.float32)
+    o, d = camera.generate_rays(view, px, py, u, 24, 24)
+    fat = scene.fat_bvh
+    feat = pallas_trace.pack_leaf_features(fat)
+    h0 = pallas_trace.pallas_closest(fat, feat, o, d, block=256,
+                                     interpret=True)
+    h1 = pallas_trace.finalize_hit(
+        scene.slot_payload, o, d,
+        pallas_trace.pallas_closest(fat, feat, o, d, block=256,
+                                    interpret=True,
+                                    slot_payload=scene.slot_payload),
+    )
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.bary), np.asarray(h1.bary))
+    assert h0.payload is None and h1.payload is not None
+
+    sp0 = make_shading_point(scene.geo, h1.tri, h1.bary, d)
+    sp1 = shading_point_from_row(h1.payload[:, 0:32], h1.tri, h1.bary, d)
+    for a, b in zip(sp0, sp1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m0 = load_material(scene.materials, sp0.material)
+    hitm = np.asarray(h1.tri) >= 0
+    m1 = material_from_row(h1.payload[:, 64:88])
+    for a, b in zip(m0, m1):
+        np.testing.assert_array_equal(
+            np.asarray(a)[hitm], np.asarray(b)[hitm]
+        )
