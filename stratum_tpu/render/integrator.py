@@ -323,6 +323,15 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
     raise ValueError(f"unknown tracer {cfg.tracer!r}")
 
 
+# resolve coherent presample-tile rows with per-granule selects instead of
+# a [N]-row gather. MEASURED NEGATIVE on-chip (atrium bench config: 1366 vs
+# 1180 ms/spp): the C unrolled select-accumulate passes over [G, B, W]
+# cost far more HBM traffic than the one row gather they replace — unlike
+# the slot-payload fusion, the tile gather was already a single op.
+# Module-level knob for process A/Bs (a cached jit ignores runtime flips).
+GRANULE_TILE_SELECT = False
+
+
 def mis_power_heuristic(pdf_a, pdf_b):
     """Power heuristic beta=2 (reference: ``mis()``, path.hlsli:8-15)."""
     a2 = pdf_a * pdf_a
@@ -777,32 +786,49 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             # key each granule by its FIRST lane's absolute pixel coords
             # (not the local lane index): a sharded caller whose per-device
             # tile is a multiple of coherent_block then draws identical
-            # groups, keeping sharded == single bit-exact
-            first = (
-                jnp.arange(origin.shape[0], dtype=jnp.uint32)
-                // np.uint32(cfg.coherent_block)
-            ) * np.uint32(cfg.coherent_block)
+            # groups, keeping sharded == single bit-exact.
+            # Everything here is computed at GRANULE width [G] via strided
+            # reshapes and broadcast back — the previous px_l[first] /
+            # py_l[first] forms were two [N]-row gathers (~7 ns/row at 2M
+            # lanes) for values that are constant within each granule.
+            nb = cfg.coherent_block
+            n_lanes = origin.shape[0]
+            n_gran = -(-n_lanes // nb)
+            lane_pad = n_gran * nb - n_lanes
+
+            def _first_of_granule(x):
+                return jnp.pad(x, (0, lane_pad)).reshape(n_gran, nb)[:, 0]
+
             gbits = srng.pcg4d(
                 jnp.stack(
                     [
-                        px_l[first].astype(jnp.uint32),
-                        py_l[first].astype(jnp.uint32),
-                        jnp.broadcast_to(
-                            jnp.asarray(depth + seed * 131, jnp.uint32),
-                            first.shape,
+                        _first_of_granule(px_l).astype(jnp.uint32),
+                        _first_of_granule(py_l).astype(jnp.uint32),
+                        # seed may be per-lane (render_path_lanes):
+                        # broadcast then take each granule's first lane
+                        _first_of_granule(
+                            jnp.broadcast_to(
+                                jnp.asarray(
+                                    depth + seed * 131, jnp.uint32
+                                ),
+                                (n_lanes,),
+                            )
                         ),
-                        jnp.full(first.shape, 0x1D1E5, jnp.uint32),
+                        jnp.full((n_gran,), 0x1D1E5, jnp.uint32),
                     ],
                     axis=-1,
                 )
             )[..., 0]
             u_grp = srng._bits_to_float(gbits)
-            group_base = (
+            group_base_g = (
                 jnp.minimum(
                     (u_grp * n_groups).astype(jnp.int32), n_groups - 1
                 )
                 * cfg.coherent_tiles
-            )
+            )  # [G] per-granule tile-group base row
+            group_base = jnp.broadcast_to(
+                group_base_g[:, None], (n_gran, nb)
+            ).reshape(-1)[:n_lanes]
         else:
             group_base = None
 
@@ -811,19 +837,52 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             sphere-light solid-angle cone (light.hlsli:58-121); with
             presampling on, one gather from the per-frame tile instead."""
             if cfg.presample_lights > 0:
-                if group_base is not None:
-                    idx = group_base + jnp.minimum(
-                        (u3[..., 0] * cfg.coherent_tiles).astype(jnp.int32),
-                        cfg.coherent_tiles - 1,
+                if (
+                    group_base is not None
+                    and cfg.coherent_tiles <= 32
+                    and GRANULE_TILE_SELECT
+                ):
+                    # granule-uniform base: gather each granule's C
+                    # candidate rows ONCE ([G*C] rows, ~16K instead of 2M)
+                    # and resolve the per-lane row with C fused selects —
+                    # a [N]-row gather costs ~7 ns/row regardless of
+                    # width, so this replaces ~17 ms/bounce with ~1 ms
+                    ct = cfg.coherent_tiles
+                    off = jnp.minimum(
+                        (u3[..., 0] * ct).astype(jnp.int32), ct - 1
                     )
+                    rows_g = light_tile[
+                        group_base_g[:, None]
+                        + jnp.arange(ct, dtype=jnp.int32)[None, :]
+                    ]  # [G, C, W]
+                    offp = jnp.pad(off, (0, lane_pad)).reshape(
+                        n_gran, nb
+                    )
+                    acc = jnp.zeros(
+                        (n_gran, nb, light_tile.shape[1]), jnp.float32
+                    )
+                    for j in range(ct):
+                        acc = acc + jnp.where(
+                            (offp == j)[..., None], rows_g[:, j : j + 1, :],
+                            0.0,
+                        )
+                    row = acc.reshape(-1, light_tile.shape[1])[:n_lanes]
                 else:
-                    idx = jnp.minimum(
-                        (u3[..., 0] * cfg.presample_lights).astype(
-                            jnp.int32
-                        ),
-                        cfg.presample_lights - 1,
-                    )
-                row = light_tile[idx]  # the only gather
+                    if group_base is not None:
+                        idx = group_base + jnp.minimum(
+                            (u3[..., 0] * cfg.coherent_tiles).astype(
+                                jnp.int32
+                            ),
+                            cfg.coherent_tiles - 1,
+                        )
+                    else:
+                        idx = jnp.minimum(
+                            (u3[..., 0] * cfg.presample_lights).astype(
+                                jnp.int32
+                            ),
+                            cfg.presample_lights - 1,
+                        )
+                    row = light_tile[idx]  # the only gather
                 ls = slights.LightSampleRecord(
                     position=row[..., 0:3],
                     normal=row[..., 3:6],
