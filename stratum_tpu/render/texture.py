@@ -53,22 +53,30 @@ class TextureStack:
 
     def __init__(
         self, flat, base_res: int, num_levels: int, num_tex: int,
-        slot_mask: int = SLOT_ALL,
+        slot_mask: int = SLOT_ALL, quad=None,
     ):
         self.flat = flat
+        # quad atlas [rows, 16] f16: row (x, y) holds the 2x2 texel block
+        # (x,y) (x+1,y) (x,y+1) (x+1,y+1), neighbors pre-WRAPPED — so a
+        # bilinear tap is ONE row gather instead of four (XLA row gathers
+        # cost ~7 ns/row at 2M lanes regardless of width). 4x the texel
+        # memory of ``flat``; None falls back to the 4-gather path.
+        self.quad = quad
         self.base_res = int(base_res)
         self.num_levels = int(num_levels)
         self.num_tex = int(num_tex)
         self.slot_mask = int(slot_mask)
 
     def tree_flatten(self):
-        return (self.flat,), (
+        return (self.flat, self.quad), (
             self.base_res, self.num_levels, self.num_tex, self.slot_mask,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(
+            children[0], aux[0], aux[1], aux[2], aux[3], quad=children[1]
+        )
 
     def uses(self, slot_bit: int) -> bool:
         return bool(self.slot_mask & slot_bit)
@@ -149,16 +157,27 @@ def build_texture_stack(images: list, res: int = DEFAULT_RES) -> TextureStack:
     if not images:
         return TextureStack(
             jnp.ones((1, 4), jnp.float16), base_res=1, num_levels=1,
-            num_tex=1,
+            num_tex=1, quad=jnp.ones((1, 16), jnp.float16),
         )
     base = np.stack([_area_resample(im, res) for im in images])
     levels = [base]
     while levels[-1].shape[1] > 1:
         levels.append(_downsample2(levels[-1]))
     flat = np.concatenate([l.reshape(-1, 4) for l in levels], axis=0)
+
+    def quad_of(l):
+        # [K, r, r, 16]: each texel row also carries its +x / +y / +x+y
+        # wrapped neighbors, so one gather serves a whole bilinear tap
+        qx = np.roll(l, -1, axis=2)
+        qy = np.roll(l, -1, axis=1)
+        qxy = np.roll(qy, -1, axis=2)
+        return np.concatenate([l, qx, qy, qxy], axis=-1)
+
+    quad = np.concatenate([quad_of(l).reshape(-1, 16) for l in levels])
     return TextureStack(
         jnp.asarray(flat, jnp.float16),
         base_res=res, num_levels=len(levels), num_tex=base.shape[0],
+        quad=jnp.asarray(quad, jnp.float16),
     )
 
 
@@ -199,12 +218,21 @@ def _level_sample(stack, offs, tid, uv, lvl, bilinear):
 
     if not bilinear:
         return fetch(xi0, yi0)
-    xi1 = jnp.mod(xi0 + 1, r)
-    yi1 = jnp.mod(yi0 + 1, r)
-    c00 = fetch(xi0, yi0)
-    c10 = fetch(xi1, yi0)
-    c01 = fetch(xi0, yi1)
-    c11 = fetch(xi1, yi1)
+    if stack.quad is not None:
+        # ONE row gather: the quad atlas row carries the full 2x2 block
+        # (wrapped neighbors baked in at build time)
+        idx = off + (tid * r + yi0) * r + xi0
+        q = stack.quad[idx].astype(jnp.float32)  # [N, 16]
+        c00, c10, c01, c11 = (
+            q[..., 0:4], q[..., 4:8], q[..., 8:12], q[..., 12:16]
+        )
+    else:
+        xi1 = jnp.mod(xi0 + 1, r)
+        yi1 = jnp.mod(yi0 + 1, r)
+        c00 = fetch(xi0, yi0)
+        c10 = fetch(xi1, yi0)
+        c01 = fetch(xi0, yi1)
+        c11 = fetch(xi1, yi1)
     return (
         c00 * (1 - fx) * (1 - fy)
         + c10 * fx * (1 - fy)
