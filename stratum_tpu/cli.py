@@ -69,6 +69,14 @@ def build_scene(opts):
         from stratum_tpu.scene.loaders.fbx import load_fbx
 
         load_fbx(g.root, path)
+    elif ext == ".blend":
+        # formally descoped (README "Scope"): .blend is a dump of
+        # Blender's in-memory DNA structs — even assimp's importer
+        # (reference load_assimp.cpp:14-41) is marginal. Export instead.
+        raise ValueError(
+            f"{path}: .blend is unsupported — export from Blender as "
+            "glTF/GLB (best fidelity) or OBJ/FBX and load that instead"
+        )
     else:
         raise ValueError(f"unsupported scene extension {ext!r}")
     return g

@@ -284,6 +284,171 @@ def _denoise_jit(state, radiance, gbuf, dcfg):
     return sdenoise.denoise(state, radiance, gbuf, dcfg)
 
 
+def restir_di_sharded(
+    scene, view, cfg, state, seed, mesh: Mesh, candidates: int = 4,
+    history_limit: float = 20.0, prev_view=None, spatial_taps: int = 0,
+):
+    """ReSTIR DI (render/restir.py) with the per-pixel reservoir state
+    sharded over ``mesh`` pixel tiles. The stateful hazard is temporal
+    reprojection: a hit's previous-frame pixel can land in ANY tile, so
+    each device all-gathers the packed reservoir table ([N,16] f32 over
+    the ICI) before the history fetch — reservoir rows then gather by
+    absolute pixel id exactly as on one chip. With ``spatial_taps`` > 0
+    the world-space hash grid is built per tile, so neighbor candidates
+    stay tile-local (a valid reservoir-reuse estimator — any unbiased
+    neighbor set is — but not bit-identical to the single-chip neighbor
+    choice; taps=0 and the temporal path are bit-exact, test-covered).
+    Returns (new sharded RestirState, direct radiance [H, W, 3])."""
+    from stratum_tpu.render import restir as srestir
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    num_pixels = cfg.width * cfg.height
+    if num_pixels % n_dev:
+        raise ValueError(
+            f"{cfg.width}x{cfg.height} pixels not divisible by {n_dev} devices"
+        )
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            jax.tree.map(lambda _: P(axis), state),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=(
+            jax.tree.map(lambda _: P(axis), state),
+            P(axis),
+        ),
+        check_rep=False,
+    )
+    def tile_restir(scene_rep, view_rep, state_tile, px_tile, py_tile):
+        if prev_view is not None:
+            packed = srestir._pack_state(state_tile)
+            hist_full = jax.lax.all_gather(packed, axis, axis=0, tiled=True)
+        else:
+            hist_full = None
+        return srestir._restir_flat(
+            scene_rep, view_rep, cfg, state_tile, hist_full, px_tile,
+            py_tile, seed, candidates, history_limit, prev_view,
+            spatial_taps,
+        )
+
+    new_state, direct = tile_restir(scene, view, state, px, py)
+    return new_state, direct.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnums=(2, 5, 6, 9))
+def restir_di_sharded_jit(scene, view, cfg, state, seed, mesh,
+                          candidates=4, history_limit=20.0, prev_view=None,
+                          spatial_taps=0):
+    return restir_di_sharded(
+        scene, view, cfg, state, seed, mesh, candidates, history_limit,
+        prev_view, spatial_taps,
+    )
+
+
+def adaptive_round_sharded(
+    scene, view, cfg, accum, accum_sq, count, L, seed, mesh: Mesh,
+    qmc="rand",
+):
+    """One adaptive-sampling round (render/adaptive._adaptive_round) with
+    the top-L trace sharded over ``mesh``. The per-pixel state stays
+    REPLICATED: the smoothed-variance score and the global top-L selection
+    are deterministic in the state, so every device computes the identical
+    pixel list; each device then traces its L/n_dev slice of that list
+    (pixel-keyed RNG makes the scattered subset sample exactly what the
+    single-chip round would), the [L,3] radiance all-gathers back, and
+    every replica applies the same scatter-add — bit-identical to the
+    single-chip round. ``qmc`` is a jit cache key (see _adaptive_round)."""
+    n_dev = mesh.devices.size
+    if L % n_dev:
+        raise ValueError(f"L={L} not divisible by {n_dev} devices")
+    return _adaptive_round_sharded_jit(
+        scene, view, cfg, accum, accum_sq, count, L, seed, mesh, qmc
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 6, 8, 9))
+def _adaptive_round_sharded_jit(scene, view, cfg, accum, accum_sq, count,
+                                L, seed, mesh, qmc):
+    from stratum_tpu.core import math as smath
+    from stratum_tpu.render import adaptive as sadaptive
+    from stratum_tpu.render import integrator as sintegrator
+
+    axis = mesh.axis_names[0]
+    idx, px, py = sadaptive._topk_pixels(cfg, accum, accum_sq, count, L)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene),
+            jax.tree.map(lambda _: P(), view),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def tile_trace(scene_rep, view_rep, px_tile, py_tile):
+        rad, _ = sintegrator.trace_path(
+            scene_rep, view_rep, cfg, seed, px_tile, py_tile
+        )
+        return rad
+
+    rad = tile_trace(scene, view, px, py)  # [L,3]; resharded by the adds
+    accum = accum.at[idx].add(rad)
+    accum_sq = accum_sq.at[idx].add(smath.luminance(rad) ** 2)
+    count = count.at[idx].add(1.0)
+    return accum, accum_sq, count
+
+
+def render_adaptive_sharded(
+    scene, view, cfg, total_rays_budget_spp: float, mesh: Mesh,
+    pilot: int = 2, frac: float = 0.25, seed0: int = 0,
+):
+    """render/adaptive.render_adaptive with every traced wave sharded over
+    ``mesh``: uniform pilot rounds ride render_path_sharded, adaptive
+    rounds ride adaptive_round_sharded; L is rounded to a device multiple.
+    Returns (image [H, W, 3], AdaptiveState) matching the single-chip
+    render bit-for-bit when L is unchanged by the rounding."""
+    from stratum_tpu.core import rng as srng
+    from stratum_tpu.render import adaptive as sadaptive
+    from stratum_tpu.core import math as smath
+
+    n = cfg.width * cfg.height
+    n_dev = mesh.devices.size
+    st = sadaptive.init_state(n)
+    accum, accum_sq, count = st.accum, st.accum_sq, st.count
+    spent = 0.0
+    seed = seed0
+    for _ in range(min(pilot, int(total_rays_budget_spp))):
+        rad = _render_sharded_jit(scene, view, cfg, seed, mesh)
+        rad = rad.reshape(n, 3)
+        accum = accum + rad
+        accum_sq = accum_sq + smath.luminance(rad) ** 2
+        count = count + 1.0
+        spent += 1.0
+        seed += 1
+    L = max(int(round(n * frac)), 1)
+    L = max(-(-L // n_dev) * n_dev, n_dev)  # device multiple
+    while spent + L / n <= total_rays_budget_spp + 1e-6:
+        accum, accum_sq, count = adaptive_round_sharded(
+            scene, view, cfg, accum, accum_sq, count, L, seed, mesh,
+            srng.QMC,
+        )
+        spent += L / n
+        seed += 1
+    img = accum / jnp.maximum(count, 1.0)[:, None]
+    state = sadaptive.AdaptiveState(accum, accum_sq, count)
+    return img.reshape(cfg.height, cfg.width, 3), state
+
+
 def session_frame_sharded(
     scene, view, prev_view, cfg, dcfg, dstate, seed, mesh: Mesh
 ):

@@ -46,14 +46,10 @@ def init_state(num_pixels: int) -> AdaptiveState:
     )
 
 
-@partial(jax.jit, static_argnums=(2, 6, 8))
-def _adaptive_round(scene, view, cfg, accum, accum_sq, count, L, seed,
-                    qmc="rand"):
-    """One adaptive round: sample the top-L pixels by marginal variance.
-
-    ``qmc`` is a cache key only: core/rng.QMC is read at TRACE time, so
-    without it a mode flip after the first compile would be silently
-    ignored (callers pass srng.QMC)."""
+def _topk_pixels(cfg, accum, accum_sq, count, L):
+    """Rank pixels by smoothed marginal variance and return the top-L as
+    (flat idx, px, py). Deterministic in the state — the sharded round
+    relies on every replica computing the identical selection."""
     n = cfg.width * cfg.height
     mean = smath.luminance(accum) / jnp.maximum(count, 1.0)
     var = jnp.maximum(
@@ -77,6 +73,18 @@ def _adaptive_round(scene, view, cfg, accum, accum_sq, count, L, seed,
     _, idx = lax.top_k(score, L)
     px = (idx % cfg.width).astype(jnp.uint32)
     py = (idx // cfg.width).astype(jnp.uint32)
+    return idx, px, py
+
+
+@partial(jax.jit, static_argnums=(2, 6, 8))
+def _adaptive_round(scene, view, cfg, accum, accum_sq, count, L, seed,
+                    qmc="rand"):
+    """One adaptive round: sample the top-L pixels by marginal variance.
+
+    ``qmc`` is a cache key only: core/rng.QMC is read at TRACE time, so
+    without it a mode flip after the first compile would be silently
+    ignored (callers pass srng.QMC)."""
+    idx, px, py = _topk_pixels(cfg, accum, accum_sq, count, L)
     rad, _ = sintegrator.trace_path(scene, view, cfg, seed, px, py)
     accum = accum.at[idx].add(rad)
     accum_sq = accum_sq.at[idx].add(smath.luminance(rad) ** 2)

@@ -135,6 +135,25 @@ class RenderConfig:
                                    # mip by the blend fraction per sample;
                                    # E == trilinear, so progressive
                                    # renders converge identically)
+    entry_group: int = 0  # Pallas tracer hierarchical candidate prep for
+                          # SORTED/secondary closest waves: block entries
+                          # are computed against groups of this many
+                          # DFS-adjacent leaves and expanded after the
+                          # argsort (pallas_trace.ENTRY_GROUP semantics).
+                          # 0 = the pallas_trace module default. Static
+                          # jit key — flipping the module global under a
+                          # cached trace is silently ignored (jax's trace
+                          # cache is keyed by fn identity + avals, NOT
+                          # module globals; measured round 4).
+    entry_group_primary: int = 0  # same, for the UNSORTED primary-peel
+                                  # closest wave (coherent blocks tolerate
+                                  # coarser entries: g=4 measured -17% on
+                                  # the isolated primary at K=256)
+    entry_group_shadow: int = 0  # same, for occlusion waves (the deferred
+                                 # NEE wave is 5x wider than a closest
+                                 # wave, so its entry-pass cost dominates
+                                 # prep; coherent-tile targets keep its
+                                 # blocks tight enough for coarse entries)
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -189,6 +208,15 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
     sort machinery. Identical results — the sort never changes hits."""
     closest, occluded = _trace_fns_tris(scene, cfg)
     closest_u = closest
+    if (
+        cfg.entry_group_primary != cfg.entry_group
+        and resolved_tracer(scene, cfg) == "pallas"
+    ):
+        # the unsorted primary peel gets its own (coarser) entry grouping
+        closest_u, _ = _trace_fns_tris(
+            scene,
+            dataclasses.replace(cfg, entry_group=cfg.entry_group_primary),
+        )
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
         from stratum_tpu.ops import raysort
 
@@ -267,13 +295,17 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         # amortize over 16 sub-blocks while each leaf only pays for the
         # sub-blocks that want it
         blk = 2048
+        eg_c = cfg.entry_group if cfg.entry_group > 0 else None
+        eg_o = cfg.entry_group_shadow if cfg.entry_group_shadow > 0 else None
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 block=blk, slot_payload=scene.slot_payload,
+                entry_group=eg_c,
             ),
             lambda o, d, t: spallas.pallas_occluded(
-                scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk,
+                entry_group=eg_o,
             ),
         )
     if tracer == "packet":

@@ -108,10 +108,30 @@ def restir_di(
     reprojection; reference: prev-frame hashgrid lookups keyed by world
     position, path.hlsli:432-487). ``spatial_taps`` > 0 additionally merges
     that many random same-cell neighbors via the world-space hash grid."""
+    px, py = scamera.pixel_grid(cfg.width, cfg.height)
+    hist_packed = _pack_state(state) if prev_view is not None else None
+    new_state, direct = _restir_flat(
+        scene, view, cfg, state, hist_packed, px, py, seed,
+        candidates, history_limit, prev_view, spatial_taps,
+    )
+    return new_state, direct.reshape(cfg.height, cfg.width, 3)
+
+
+def _restir_flat(
+    scene, view, cfg: RenderConfig, state: RestirState, hist_packed,
+    px, py, seed, candidates: int, history_limit: float,
+    prev_view, spatial_taps: int,
+):
+    """Flat-core ReSTIR DI over an arbitrary pixel subset (``px``/``py``
+    absolute coords, ``state`` rows aligned with those lanes). Shared by the
+    full-frame wrapper and the sharded tiles: temporal reprojection reads
+    ``hist_packed`` — the FULL-FRAME packed reservoir table (a reprojected
+    hit's previous pixel can land in any tile, so the sharded caller
+    all-gathers its rows first) — while the no-motion path and spatial
+    reuse stay lane-local. Returns (new_state rows, direct rows [n,3])."""
     bsdf_eval, _ = _bsdf_fns(cfg)
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
     geo = scene.geo
-    px, py = scamera.pixel_grid(cfg.width, cfg.height)
     st = srng.rng_init(
         px, py, _RESTIR_STREAM + jnp.asarray(seed, jnp.uint32)
     )
@@ -182,7 +202,7 @@ def restir_di(
         )
         pxi = jnp.clip(pix[..., 0].astype(jnp.int32), 0, cfg.width - 1)
         pyi = jnp.clip(pix[..., 1].astype(jnp.int32), 0, cfg.height - 1)
-        hist_row = _pack_state(state)[pyi * cfg.width + pxi]
+        hist_row = hist_packed[pyi * cfg.width + pxi]
         hist = _unpack_state(hist_row)
         hist_ok = inside & hit.hit
         hist = hist._replace(m=jnp.where(hist_ok, hist.m, 0.0))
@@ -289,7 +309,7 @@ def restir_di(
         total_weight=merged.total_weight,
         m=merged.m,
     )
-    return new_state, direct.reshape(cfg.height, cfg.width, 3)
+    return new_state, direct
 
 
 @partial(jax.jit, static_argnums=(2, 5, 6, 8))

@@ -494,29 +494,7 @@ def flatten(root: Node, env_probability: float = 0.5,
     media = build_media(media_list)
     leaf_feat_packed = pack_leaf_features(fat_bvh)
 
-    # fused per-slot hit payload (SceneData.slot_payload): one gather by
-    # the Pallas tracer's winning slot returns shading row + MT coeffs +
-    # tri id + material row + normal-tex id — replacing four separate row
-    # gathers per bounce (~7 ns/row each at 2M lanes regardless of width)
-    assert geo.num_triangles < (1 << 24), "tri ids must stay f32-exact"
-    slot_tri = np.asarray(fat_bvh.leaf_tri).reshape(-1)  # [L*K], -1 pads
-    st_safe = np.maximum(slot_tri, 0)
-    pk = np.asarray(geo.packed_tri)[st_safe]  # [S, 32]
-    feat = np.asarray(fat_bvh.leaf_feat).reshape(slot_tri.shape[0], 40)
-    auv = feat.reshape(-1, 10, 4)[:, :, 0:3].reshape(-1, 30)  # f-major a/u/v
-    mat_ids = np.maximum(pk[:, 24].astype(np.int32), 0)
-    mrows = np.asarray(device_mats.packed)[mat_ids]  # [S, 24]
-    ntex = np.asarray(device_mats.normal_tex)[mat_ids].astype(np.float32)
-    slot_payload = np.concatenate(
-        [
-            pk,
-            auv,
-            slot_tri.astype(np.float32)[:, None],
-            ntex[:, None],
-            mrows,
-        ],
-        axis=1,
-    ).astype(np.float32)  # [S, 88]
+    slot_payload = build_slot_payload(geo, device_mats, fat_bvh)
 
     scene = schema.SceneData(
         geo=geo,
@@ -543,6 +521,51 @@ def flatten(root: Node, env_probability: float = 0.5,
     stats.num_materials = len(materials)
     stats.num_lights = int(lights.num_lights)
     return scene, stats
+
+
+def build_slot_payload(geo, device_mats, fat_bvh):
+    """Fused per-slot hit payload (SceneData.slot_payload): one gather by
+    the Pallas tracer's winning slot returns shading row + MT coeffs +
+    tri id + material row + normal-tex id — replacing four separate row
+    gathers per bounce (~7 ns/row each at 2M lanes regardless of width).
+    Slot ids are ``leaf * K + row`` of THIS fat_bvh — any tool that swaps
+    a scene's BVH (leaf-size sweeps) must rebuild the table too, or slot
+    mode gathers garbage rows."""
+    assert geo.num_triangles < (1 << 24), "tri ids must stay f32-exact"
+    slot_tri = np.asarray(fat_bvh.leaf_tri).reshape(-1)  # [L*K], -1 pads
+    st_safe = np.maximum(slot_tri, 0)
+    pk = np.asarray(geo.packed_tri)[st_safe]  # [S, 32]
+    feat = np.asarray(fat_bvh.leaf_feat).reshape(slot_tri.shape[0], 40)
+    auv = feat.reshape(-1, 10, 4)[:, :, 0:3].reshape(-1, 30)  # f-major a/u/v
+    mat_ids = np.maximum(pk[:, 24].astype(np.int32), 0)
+    mrows = np.asarray(device_mats.packed)[mat_ids]  # [S, 24]
+    ntex = np.asarray(device_mats.normal_tex)[mat_ids].astype(np.float32)
+    return jnp.asarray(
+        np.concatenate(
+            [
+                pk,
+                auv,
+                slot_tri.astype(np.float32)[:, None],
+                ntex[:, None],
+                mrows,
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )  # [S, 88]
+
+
+def replace_bvh(scene, fat_bvh, leaf_feat_packed=None):
+    """Swap a scene's FatBVH, keeping every derived table consistent
+    (leaf_feat_packed + slot_payload). For leaf-size/builder sweeps."""
+    from stratum_tpu.ops.pallas_trace import pack_leaf_features
+
+    if leaf_feat_packed is None:
+        leaf_feat_packed = pack_leaf_features(fat_bvh)
+    return scene._replace(
+        fat_bvh=fat_bvh,
+        leaf_feat_packed=leaf_feat_packed,
+        slot_payload=build_slot_payload(scene.geo, scene.materials, fat_bvh),
+    )
 
 
 def find_camera(root: Node):

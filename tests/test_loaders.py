@@ -328,3 +328,34 @@ def test_fbx_polygon_fan_and_slots(tmp_path):
     pos, idx, nrm, uv, slot = _triangulate(geo)
     assert idx.tolist() == [[0, 1, 2], [0, 2, 3]]
     assert (slot == 0).all()
+
+
+def test_vdb_descope_error_path(tmp_path):
+    """.vdb is formally descoped (README "Scope"): the loader must refuse
+    with the nanovdb_convert recipe, not mis-parse (reference reads it via
+    the OpenVDB library, load_volumes.cpp:112-135)."""
+    import pytest
+
+    from stratum_tpu.scene.graph import NodeGraph
+    from stratum_tpu.scene.loaders.volumes import load_volume
+
+    p = tmp_path / "cloud.vdb"
+    p.write_bytes(b" BDV\x00\x00\x00\x00" + b"\x00" * 64)
+    g = NodeGraph()
+    with pytest.raises(ValueError, match="nanovdb_convert"):
+        load_volume(g.root, p)
+
+
+def test_blend_descope_error_path(tmp_path):
+    """.blend is formally descoped: the CLI scene dispatch must refuse
+    with the export recipe (reference: assimp importer,
+    load_assimp.cpp:14-41)."""
+    import pytest
+
+    from stratum_tpu.cli import build_scene
+    from stratum_tpu.utils.flags import Options
+
+    p = tmp_path / "scene.blend"
+    p.write_bytes(b"BLENDER-v404" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="glTF"):
+        build_scene(Options([f"--scene={p}"]))

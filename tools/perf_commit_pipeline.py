@@ -13,14 +13,27 @@ single Pallas program, operands VMEM-resident (the real kernel's slab is
 in a VMEM DMA ring by commit time), slab indexed from a 4-deep ring so
 Mosaic can neither hoist nor CSE the dots:
 
-  bare       matmul -> accumulate                  (free-pipelining bound)
-  classify   matmul -> _mt_classify -> accumulate  (adds classify VPU)
+  bare       matmul -> [1,B] row consume           (free-pipelining bound;
+             consumes only out[0:1,:] so its extra traffic matches the epi
+             variants' [1,B] best/slot writes instead of a [4K,B] add)
+  classify   matmul -> _mt_classify -> accumulate  (adds classify VPU; note
+             its [k,B] accumulate consume is heavier than epi's [1,B]
+             commit, so classify-vs-epi deltas slightly overstate classify)
   epi        matmul -> classify -> _select_update  (the REAL commit body)
   epi_when   epi with each commit under pl.when(scalar bit)  (predication)
   epi_while  epi inside lax.while_loop w/ scalar-prefetch count (real loop)
+  epi_drain  epi gated on a vector->scalar drain of best_ref — the real
+             kernel's loop-carried pretest dependency
   epi_x2     epi, 2 independent sub-commits per iteration (128-lane cols)
              -> if per-commit cost drops, cross-commit overlap exists and
                 unrolling the real kernel's sub loop wins
+  epi_x2/epi_w256 count 2 commits per iteration in the ns/commit math
+  epi_w256   ONE double-width [48,4K]x[48,256] commit (merged sub-blocks)
+
+NOTE: with the constant operands (rays=0.25, feat=0.5) every product row
+equals 6.0, so _mt_classify's su+sv<=abs_a test fails on all lanes and no
+commit ever updates best_ref/slot_ref — o_ref is a dead-code sink only
+(timing is unaffected: the commit work is data-independent).
 
 Usage: python tools/perf_commit_pipeline.py [--iters=256] [--k=1024]
 """
@@ -80,7 +93,11 @@ def _kernel(n_sp, rays_ref, feat_ref, word_ref, o_ref, best_ref, slot_ref,
 
     if variant == "bare":
         def body(i, _):
-            acc[:, 0:B] = acc[:, 0:B] + dot(i)
+            # consume ONE output row: the epi variants' commit writes are
+            # [1,B], so a full [4K,B] accumulate here (~512 vector regs of
+            # extra traffic per iteration) would pollute the "+over bare"
+            # deltas with consume-cost differences (ADVICE r3)
+            acc[0:1, 0:B] = acc[0:1, 0:B] + dot(i)[0:1, :]
             return 0
         lax.fori_loop(0, iters, body, 0)
     elif variant == "classify":
@@ -214,7 +231,7 @@ def main():
         if v == "bare":
             base_ns = ns
         elif base_ns:
-            note = f"  (+{ns - base_ns:7.1f} over bare)"
+            note = f"  ({ns - base_ns:+8.1f} over bare)"
         print(f"{v:10s}: {dt * 1e3:8.3f} ms  {ns:8.1f} ns/commit{note}")
 
 

@@ -73,7 +73,7 @@ def main():
     for k in ks:
         fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid, leaf_size=k)
         feat = spallas.pack_leaf_features(fat)
-        scene = scene0._replace(fat_bvh=fat, leaf_feat_packed=feat)
+        scene = flatten.replace_bvh(scene0, fat, feat)
         print(f"K={k}: leaves={fat.num_leaves}", flush=True)
 
         h0 = spallas.pallas_closest(fat, feat, origin, direction, block=block)
@@ -111,34 +111,31 @@ def main():
 
             if not run_e2e:
                 continue
-            old = spallas.ENTRY_GROUP
-            spallas.ENTRY_GROUP = grp
-            try:
-                cfg = integrator.RenderConfig(
-                    width=width, height=height, max_bounces=4,
-                    sort_rays=True, tracer="pallas",
-                )
-                # fresh jit: ENTRY_GROUP is a trace-time global, a cached
-                # render_path would silently ignore the flip
-                rpc = jax.jit(
-                    integrator.render_path_with_counts.__wrapped__,
-                    static_argnums=(2,),
-                )
-                img, n_rays = rpc(scene, view, cfg, 0)
-                fetch(n_rays)
-                t0 = time.time()
-                tot = 0
-                for s in range(1, 3):
-                    img, n_rays = rpc(scene, view, cfg, s)
-                    tot += int(fetch(n_rays))
-                dt = (time.time() - t0) / 2
-                print(
-                    f"  g={grp} e2e b4   : {dt*1e3:8.1f} ms "
-                    f"{tot/2/dt/1e6:7.2f} Mrays/s",
-                    flush=True,
-                )
-            finally:
-                spallas.ENTRY_GROUP = old
+            # entry_group rides RenderConfig (a real static jit key). The
+            # old module-global flip + "fresh jit around __wrapped__" was
+            # SILENTLY IGNORED: jax's trace cache is keyed by function
+            # identity + avals, so the second flip reused the first trace
+            # (measured round 4; the r3 e2e rows of this tool are invalid).
+            cfg = integrator.RenderConfig(
+                width=width, height=height, max_bounces=4,
+                sort_rays=True, tracer="pallas",
+                entry_group=grp, entry_group_primary=grp,
+                entry_group_shadow=grp,
+            )
+            rpc = integrator.render_path_with_counts
+            img, n_rays = rpc(scene, view, cfg, 0)
+            fetch(n_rays)
+            t0 = time.time()
+            tot = 0
+            for s in range(1, 3):
+                img, n_rays = rpc(scene, view, cfg, s)
+                tot += int(fetch(n_rays))
+            dt = (time.time() - t0) / 2
+            print(
+                f"  g={grp} e2e b4   : {dt*1e3:8.1f} ms "
+                f"{tot/2/dt/1e6:7.2f} Mrays/s",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -58,7 +58,7 @@ def main():
     for k in ks:
         fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid, leaf_size=k)
         feat = spallas.pack_leaf_features(fat)
-        scene = scene0._replace(fat_bvh=fat, leaf_feat_packed=feat)
+        scene = flatten.replace_bvh(scene0, fat, feat)
         print(f"K={k}: leaves={fat.num_leaves}", flush=True)
 
         @jax.jit
