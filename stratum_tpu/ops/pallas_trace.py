@@ -118,6 +118,20 @@ EARLY_EXIT = True
 # passes, which is where it measured its 1.5-3x loss (sweep_chunks.py).
 # Requires the flat (chunks=1) slab layout. Default set by tools/sweep_epi.
 EPI = 1
+# Deferred-merge commit path (r4 restructure): per-sub commits write their
+# per-visit (t, slot) minima into disjoint lane slices of a scratch slot
+# (NO best_ref read-modify-write on the commit path); the top of iteration
+# c merges visit c-1's slot into best_ref (min is associative, so the
+# deferred merge is exact and tie-breaking matches the serialized path),
+# and the pretest gate word for visit c+1 is computed against the merged
+# best (one visit stale = a larger bound = conservative) and CARRIED as a
+# loop value — so no vector->scalar drain sits between a visit's gate and
+# its matmuls. Motivation (STATUS r3): per-commit marginal cost measured
+# 0.65-0.72 us regardless of branches — the matmul -> classify -> select
+# -> best_ref chain serializes MXU and VPU — while the same commit deeply
+# pipelined costs ~74 ns. Requires chunks == 1, epi == 1, packed argmin.
+# Decision microbench: tools/perf_commit_pipeline.py variant "ring".
+RING = False
 
 
 def _effective_chunks(leaf_size: int, requested: int | None = None) -> int:
@@ -594,6 +608,189 @@ def _kernel(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm, centry_hbm,
     )
 
 
+def _popcount_word(word, subs):
+    """Scalar popcount of the low ``subs`` bits (diagnostics; runs on the
+    scalar core, off the vector critical path)."""
+    n = jnp.int32(0)
+    for s in range(subs):
+        n = n + ((word >> s) & 1)
+    return n
+
+
+def _kernel_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
+                 centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
+                 csem, best_ref, slot_ref, ring_t, ring_s, mode="x3",
+                 subs=1, early_exit=False):
+    """Deferred-merge closest kernel (see RING). Differences vs _kernel:
+
+    - per-sub commits write their per-visit (t, slot) minima into disjoint
+      lane slices of ring_t/ring_s — NO best_ref read-modify-write on the
+      commit path, so the ~4 wanting subs of a visit are fully independent
+      (matmul -> classify -> pack -> min-reduce -> store) chains Mosaic can
+      software-pipeline across the MXU and VPU;
+    - the top of iteration c merges visit c-1's slot into best_ref/slot_ref
+      (min is associative and the packed (t | idx) tie-break is the same
+      strict '<' the serialized path used, so results are bit-identical);
+    - the pretest gate word for visit c+1 is computed AFTER this visit's
+      commits are issued, against best merged through c-1 (a one-visit
+      stale bound is larger, hence conservative/correct), and carried as a
+      loop value — the vector->scalar drain overlaps the commit work
+      instead of blocking it;
+    - the early-exit bound (jnp.max of merged best) is likewise one visit
+      stale: still an upper bound of the true worst committed hit, so the
+      front-to-back exit stays conservative.
+
+    Requires the flat slab layout (chunks == 1, epi == 1) and packed
+    argmin. Gate diagnostics (n_exec) count popcounts of consumed words.
+    """
+    b = pl.program_id(0)
+    _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
+    n_cand = ncand_sp[b]
+    rays = rays_ref[0]  # [16, B]
+    t_max = rays[10:11, :]  # [1, B]
+    rays_mm = jnp.where(
+        lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
+    )
+    if mode in ("c48", "c48w"):
+        r_hi = rays_mm.astype(jnp.bfloat16)
+        r_lo = (rays_mm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)  # [48, B]
+    geom = geom_ref[0]  # [8, B]
+    B = rays.shape[1]
+    k4 = buf.shape[2]
+    k = k4 // 4
+    sw = B // subs
+    c_lim = jnp.int32(8 * cand_s.shape[1] - 1)
+
+    def cand_at(c):
+        return cand_s[lax.rem(c, 8), c // 8]
+
+    def centry_at(c):
+        return centry_s[lax.rem(c, 8), c // 8]
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
+        )
+
+    def banded_slab(slot):
+        slab = buf[slot]
+        if mode == "c48":
+            slab = jnp.concatenate([slab, slab[0:FEAT_ROWS]], axis=0)
+        return slab
+
+    best_ref[...] = t_max
+    slot_ref[...] = jnp.full((1, B), -1.0, jnp.float32)
+    ring_t[...] = jnp.full((1, B), jnp.inf, jnp.float32)
+    ring_s[...] = jnp.zeros((1, B), jnp.float32)
+
+    for p in range(NBUF - 1):
+        @pl.when(n_cand > p)
+        def _(p=p):
+            dma(p, p).start()
+
+    def commit(slab, leaf, lo_c):
+        """Per-visit per-sub minimum into the ring slot (no best read)."""
+        abs_a, stn, valid = _mt_quants(
+            rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+        )
+        r = lax.bitcast_convert_type(
+            jnp.int32(0x7EF311C3)
+            - lax.bitcast_convert_type(abs_a, jnp.int32),
+            jnp.float32,
+        )
+        r = r * (2.0 - abs_a * r)
+        r = r * (2.0 - abs_a * r)
+        tt = jnp.where(valid, stn * r, jnp.inf)
+        mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+        bits = jax.lax.bitcast_convert_type(tt, jnp.int32)
+        iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        packed = jnp.min((bits & mask) | iota_k, axis=0, keepdims=True)
+        ring_t[0:1, lo_c : lo_c + sw] = jax.lax.bitcast_convert_type(
+            packed & mask, jnp.float32
+        )
+        ring_s[0:1, lo_c : lo_c + sw] = (
+            (packed & ~mask).astype(jnp.float32)
+            + leaf.astype(jnp.float32) * jnp.float32(k)
+        )
+
+    def merge():
+        tk = ring_t[...]
+        closer = tk < best_ref[...]
+        best_ref[...] = jnp.where(closer, tk, best_ref[...])
+        slot_ref[...] = jnp.where(closer, ring_s[...], slot_ref[...])
+
+    word0, _ = _pretest_word(geom, aabb_sp, cand_at(jnp.int32(0)),
+                             best_ref, subs)
+
+    def cond(state):
+        c, max_best, _nex, _word = state
+        ok = c < n_cand
+        if early_exit:
+            ok = ok & (centry_at(c) < max_best)
+        return ok
+
+    def body(state):
+        c, max_best, nex, word = state
+        slot = lax.rem(c, NBUF)
+        nxt = c + 1
+        pf = c + NBUF - 1
+
+        @pl.when(pf < n_cand)
+        def _():
+            dma(lax.rem(pf, NBUF), pf).start()
+
+        # 1. fold visit c-1's ring slot into best/slot, then re-arm the
+        #    slot. Short [1, B] chains — the only loop-carried vector work.
+        @pl.when(c > 0)
+        def _():
+            merge()
+            ring_t[...] = jnp.full((1, B), jnp.inf, jnp.float32)
+
+        leaf = cand_at(c)
+        dma(slot, c).wait()
+        slab = banded_slab(slot)
+
+        # 2. this visit's commits, gated by the CARRIED word (no drain
+        #    in front of the matmuls)
+        for s in range(subs):
+            pl.when((word & (1 << s)) != 0)(
+                functools.partial(commit, slab, leaf, s * sw)
+            )
+
+        # 3. next visit's gate word + early-exit bound: both read best
+        #    merged through c-1 and are independent of step 2 — their
+        #    vector->scalar drains overlap the commit work
+        word_n, _ = _pretest_word(
+            geom, aabb_sp, cand_at(jnp.minimum(nxt, c_lim)), best_ref, subs
+        )
+        new_max = jnp.max(best_ref[...]) if early_exit else max_best
+        return nxt, new_max, nex + _popcount_word(word, subs), word_n
+
+    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max),
+             jnp.asarray(0, jnp.int32), word0)
+    c_final, _, n_exec, _ = lax.while_loop(cond, body, state)
+
+    @pl.when(c_final > 0)
+    def _():
+        merge()
+
+    for p in range(NBUF - 1):
+        @pl.when(c_final + p < n_cand)
+        def _(p=p):
+            dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
+
+    out_ref[0] = jnp.concatenate(
+        [
+            best_ref[...],
+            slot_ref[...],
+            jnp.full((1, B), c_final.astype(jnp.float32)),
+            jnp.full((1, B), n_exec.astype(jnp.float32)),
+        ],
+        axis=0,
+    )
+
+
 def _kernel_occ(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
                 centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
                 csem, best_ref, slot_ref, mode="x3",
@@ -753,6 +950,131 @@ def _kernel_occ(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
     )
 
 
+def _kernel_occ_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
+                     centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s,
+                     centry_s, csem, best_ref, slot_ref, ring_t, ring_s,
+                     mode="x3", subs=1):
+    """Deferred-merge any-hit kernel (see _kernel_ring). ring_t carries the
+    per-visit blocked mask; the merge zeroes the bound one visit late. The
+    t-range cull reads the one-visit-stale bound, which is EXACT here: a
+    bound only ever moves t_max -> 0, so a stale t_max re-tests an
+    already-blocked ray (idempotent) and never admits an out-of-range hit.
+    ring_s is unused (shared scratch signature with the closest kernel)."""
+    b = pl.program_id(0)
+    _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
+    n_cand = ncand_sp[b]
+    rays = rays_ref[0]
+    t_max = rays[10:11, :]
+    rays_mm = jnp.where(
+        lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
+    )
+    if mode in ("c48", "c48w"):
+        r_hi = rays_mm.astype(jnp.bfloat16)
+        r_lo = (rays_mm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)
+    geom = geom_ref[0]
+    B = rays.shape[1]
+    k4 = buf.shape[2]
+    k = k4 // 4
+    sw = B // subs
+    c_lim = jnp.int32(8 * cand_s.shape[1] - 1)
+
+    def cand_at(c):
+        return cand_s[lax.rem(c, 8), c // 8]
+
+    def centry_at(c):
+        return centry_s[lax.rem(c, 8), c // 8]
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
+        )
+
+    def banded_slab(slot):
+        slab = buf[slot]
+        if mode == "c48":
+            slab = jnp.concatenate([slab, slab[0:FEAT_ROWS]], axis=0)
+        return slab
+
+    best_ref[...] = t_max  # the surviving t bound; 0 = blocked/dead
+    ring_t[...] = jnp.zeros((1, B), jnp.float32)
+
+    for p in range(NBUF - 1):
+        @pl.when(n_cand > p)
+        def _(p=p):
+            dma(p, p).start()
+
+    def commit(slab, lo_c):
+        bound = best_ref[0:1, lo_c : lo_c + sw]  # one visit stale: exact
+        abs_a, stn, base_valid = _mt_quants(
+            rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+        )
+        valid = base_valid & (stn < bound * abs_a)
+        blocked = jnp.any(valid, axis=0, keepdims=True)
+        ring_t[0:1, lo_c : lo_c + sw] = blocked.astype(jnp.float32)
+
+    def merge():
+        best_ref[...] = jnp.where(ring_t[...] > 0.0, 0.0, best_ref[...])
+
+    word0, _ = _pretest_word(geom, aabb_sp, cand_at(jnp.int32(0)),
+                             best_ref, subs)
+
+    def cond(state):
+        c, max_bound, _word = state
+        return (c < n_cand) & (centry_at(c) < max_bound)
+
+    def body(state):
+        c, _, word = state
+        slot = lax.rem(c, NBUF)
+        nxt = c + 1
+        pf = c + NBUF - 1
+
+        @pl.when(pf < n_cand)
+        def _():
+            dma(lax.rem(pf, NBUF), pf).start()
+
+        @pl.when(c > 0)
+        def _():
+            merge()
+            ring_t[...] = jnp.zeros((1, B), jnp.float32)
+
+        dma(slot, c).wait()
+        slab = banded_slab(slot)
+
+        for s in range(subs):
+            pl.when((word & (1 << s)) != 0)(
+                functools.partial(commit, slab, s * sw)
+            )
+
+        word_n, _ = _pretest_word(
+            geom, aabb_sp, cand_at(jnp.minimum(nxt, c_lim)), best_ref, subs
+        )
+        return nxt, jnp.max(best_ref[...]), word_n
+
+    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max), word0)
+    c_final, _, _ = lax.while_loop(cond, body, state)
+
+    @pl.when(c_final > 0)
+    def _():
+        merge()
+
+    for p in range(NBUF - 1):
+        @pl.when(c_final + p < n_cand)
+        def _(p=p):
+            dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
+
+    blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
+    out_ref[0] = jnp.concatenate(
+        [
+            blocked.astype(jnp.float32),
+            jnp.zeros((1, B), jnp.float32),
+            jnp.full((1, B), c_final.astype(jnp.float32)),
+            jnp.zeros((1, B), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 def _resolve_subs(subs, block):
     if subs is not None:
         return subs
@@ -775,13 +1097,13 @@ def _pack8(arr, fill):
     jax.jit,
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
-        "subs", "chunks", "epi", "early_exit", "gate_mode",
+        "subs", "chunks", "epi", "early_exit", "gate_mode", "ring",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
                 mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1,
-                epi=1, early_exit=False, gate_mode="normal"):
+                epi=1, early_exit=False, gate_mode="normal", ring=False):
     nb, c_max = cand.shape
     if block % subs != 0:
         raise ValueError(
@@ -814,20 +1136,38 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             f"packed-argmin index budget ({1 << _IDX_BITS}); rebuild the "
             "BVH with smaller leaves or raise _IDX_BITS"
         )
+    if ring and (chunks > 1 or epi > 1 or gate_mode != "normal"):
+        raise ValueError(
+            "ring (deferred-merge commits) requires the flat slab layout "
+            f"and normal gating; got chunks={chunks} epi={epi} "
+            f"gate_mode={gate_mode}"
+        )
+    if ring and kernel_name == "closest" and not packed_argmin:
+        raise ValueError("ring requires packed_argmin (the per-visit "
+                         "minimum is a packed (t | idx) int min)")
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
-    kernel = (
-        functools.partial(
-            _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs,
-            chunks=chunks, epi=epi, early_exit=early_exit,
-            gate_mode=gate_mode,
+    if ring:
+        kernel = (
+            functools.partial(
+                _kernel_ring, mode=mode, subs=subs, early_exit=early_exit,
+            )
+            if kernel_name == "closest"
+            else functools.partial(_kernel_occ_ring, mode=mode, subs=subs)
         )
-        if kernel_name == "closest"
-        else functools.partial(
-            _kernel_occ, mode=mode, subs=subs, chunks=chunks, epi=epi
+    else:
+        kernel = (
+            functools.partial(
+                _kernel, mode=mode, packed_argmin=packed_argmin, subs=subs,
+                chunks=chunks, epi=epi, early_exit=early_exit,
+                gate_mode=gate_mode,
+            )
+            if kernel_name == "closest"
+            else functools.partial(
+                _kernel_occ, mode=mode, subs=subs, chunks=chunks, epi=epi
+            )
         )
-    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -855,7 +1195,15 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((1, block), jnp.float32),  # best_ref
                 pltpu.VMEM((1, block), jnp.float32),  # slot_ref
-            ],
+            ]
+            + (
+                [
+                    pltpu.VMEM((1, block), jnp.float32),  # ring_t
+                    pltpu.VMEM((1, block), jnp.float32),  # ring_s
+                ]
+                if ring
+                else []
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, 4, block), jnp.float32),
         interpret=interpret,
@@ -964,7 +1312,7 @@ def pallas_closest(
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, early_exit: bool | None = None,
-    slot_payload=None,
+    slot_payload=None, ring: bool | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
@@ -991,6 +1339,7 @@ def pallas_closest(
         mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
         early_exit=EARLY_EXIT if early_exit is None else early_exit,
+        ring=RING if ring is None else ring,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -1074,7 +1423,7 @@ def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
-    entry_group: int | None = None,
+    entry_group: int | None = None, ring: bool | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
@@ -1091,5 +1440,6 @@ def pallas_occluded(
         leaf_feat_packed, interpret=interpret, block=block,
         kernel_name="occluded", mode=MT_MODE,
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
+        ring=RING if ring is None else ring,
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

@@ -154,6 +154,15 @@ class RenderConfig:
                                  # wave, so its entry-pass cost dominates
                                  # prep; coherent-tile targets keep its
                                  # blocks tight enough for coarse entries)
+    ring: int = -1  # Pallas tracer deferred-merge commit path (r4 kernel
+                    # restructure, pallas_trace.RING semantics): commits
+                    # write per-visit minima into a scratch slot merged one
+                    # visit late, and the pretest gate word is carried a
+                    # visit ahead — removes the best_ref read-modify-write
+                    # serialization between MXU and VPU. -1 = module
+                    # default, 0 = off, 1 = on. Static jit key (see
+                    # entry_group note on why module-global flips are
+                    # unsafe under cached traces).
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -297,15 +306,16 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         blk = 2048
         eg_c = cfg.entry_group if cfg.entry_group > 0 else None
         eg_o = cfg.entry_group_shadow if cfg.entry_group_shadow > 0 else None
+        rng_m = None if cfg.ring < 0 else bool(cfg.ring)
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 block=blk, slot_payload=scene.slot_payload,
-                entry_group=eg_c,
+                entry_group=eg_c, ring=rng_m,
             ),
             lambda o, d, t: spallas.pallas_occluded(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk,
-                entry_group=eg_o,
+                entry_group=eg_o, ring=rng_m,
             ),
         )
     if tracer == "packet":

@@ -272,6 +272,78 @@ def test_pallas_tracer_epi_gated(rng_np, subs, epi):
     np.testing.assert_array_equal(o0, oe)
 
 
+@pytest.mark.parametrize("subs,early_exit", [(1, False), (2, True), (4, True)])
+def test_pallas_tracer_ring(rng_np, subs, early_exit):
+    """Deferred-merge (ring) kernels are EXACTLY equal to the serialized
+    kernels: the per-visit packed (t | idx) minima merged one visit late
+    reproduce the same winners and tie-breaks, the one-visit-stale pretest
+    bound only admits extra (idempotent) work, and the stale early-exit
+    bound only delays the exit."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 2000)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=256)
+    feat = pallas_trace.pack_leaf_features(fat)
+    o, d = _random_rays(rng_np, 512)
+    # finite t_max on a slice exercises the ring merge's bound handling
+    t_max = jnp.where(
+        jnp.arange(512) % 3 == 0,
+        jnp.asarray((rng_np.random(512) * 20).astype(np.float32)),
+        jnp.float32(pallas_trace.T_MAX),
+    )
+    h0 = pallas_trace.pallas_closest(
+        fat, feat, o, d, t_max=t_max, block=256, interpret=True, subs=subs,
+        early_exit=early_exit, ring=False,
+    )
+    hr = pallas_trace.pallas_closest(
+        fat, feat, o, d, t_max=t_max, block=256, interpret=True, subs=subs,
+        early_exit=early_exit, ring=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hr.t))
+    assert np.array_equal(np.asarray(h0.tri), np.asarray(hr.tri))
+    occ_max = jnp.asarray((rng_np.random(512) * 10).astype(np.float32))
+    o0 = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, occ_max, block=256, interpret=True, subs=subs,
+            ring=False,
+        )
+    )
+    orr = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, occ_max, block=256, interpret=True, subs=subs,
+            ring=True,
+        )
+    )
+    np.testing.assert_array_equal(o0, orr)
+
+
+def test_pallas_tracer_ring_slot_mode(rng_np):
+    """Ring kernel in slot-payload mode resolves identical hit records."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 1500)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=256)
+    feat = pallas_trace.pack_leaf_features(fat)
+    o, d = _random_rays(rng_np, 512)
+    h0 = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, ring=False
+    )
+    hs = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True, ring=True,
+        slot_payload=True,
+    )
+    # slot mode returns unresolved records; check slot -> tri agreement
+    tri = np.where(
+        np.asarray(hs.slot) >= 0,
+        np.asarray(fat.leaf_tri).reshape(-1)[
+            np.maximum(np.asarray(hs.slot), 0)
+        ],
+        -1,
+    )
+    assert np.array_equal(np.asarray(h0.tri), tri)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hs.t))
+
+
 def test_leaf_packing_fill_and_parity(rng_np):
     """Fill-aware leaf packing (pack_leaf_segments): merged segments stay
     within leaf_size, cover the same triangle order, raise mean fill, and

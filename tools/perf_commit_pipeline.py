@@ -29,6 +29,16 @@ Mosaic can neither hoist nor CSE the dots:
                 unrolling the real kernel's sub loop wins
   epi_x2/epi_w256 count 2 commits per iteration in the ns/commit math
   epi_w256   ONE double-width [48,4K]x[48,256] commit (merged sub-blocks)
+  ring       the planned r4 kernel restructure: the commit writes its
+             per-visit (t, slot) into a depth-2 VMEM ring (no best_ref
+             read-modify-write on the commit path); the top of iteration
+             c merges ring slot c-1 into best_ref (min is associative,
+             so deferred merging is exact) and recomputes the NEXT
+             iteration's gate word against the merged best (one visit
+             stale = conservative), carrying it as a loop value so no
+             vector->scalar drain sits in front of the matmul. If ring
+             beats epi_drain/epi_while on-chip, the real kernel gets
+             this structure.
 
 NOTE: with the constant operands (rays=0.25, feat=0.5) every product row
 equals 6.0, so _mt_classify's su+sv<=abs_a test fails on all lanes and no
@@ -160,6 +170,71 @@ def _kernel(n_sp, rays_ref, feat_ref, word_ref, o_ref, best_ref, slot_ref,
             commit(dot(i, 0, 2 * B), i, 0, 2 * B)
             return 0
         lax.fori_loop(0, iters, body, 0)
+    elif variant == "ring":
+        # deferred-merge restructure (see docstring), depth-1 static slot:
+        # acc row 0 = per-visit t minima, row 1 = per-visit slot ids
+        n = n_sp[0]
+
+        def ring_commit(out, i):
+            abs_a, stn, valid = classify(out)
+            r = lax.bitcast_convert_type(
+                jnp.int32(0x7EF311C3)
+                - lax.bitcast_convert_type(abs_a, jnp.int32),
+                jnp.float32,
+            )
+            r = r * (2.0 - abs_a * r)
+            r = r * (2.0 - abs_a * r)
+            tt = jnp.where(valid, stn * r, jnp.inf)
+            mask = jnp.int32(~((1 << 10) - 1))
+            bits = lax.bitcast_convert_type(tt, jnp.int32)
+            iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+            packed = jnp.min((bits & mask) | iota_k, axis=0, keepdims=True)
+            acc[0:1, 0:B] = lax.bitcast_convert_type(
+                packed & mask, jnp.float32
+            )
+            acc[1:2, 0:B] = (packed & ~mask).astype(
+                jnp.float32
+            ) + i.astype(jnp.float32) * jnp.float32(k)
+
+        def merge():
+            tk = acc[0:1, 0:B]
+            closer = tk < best_ref[0:1, 0:B]
+            best_ref[0:1, 0:B] = jnp.where(closer, tk, best_ref[0:1, 0:B])
+            slot_ref[0:1, 0:B] = jnp.where(
+                closer, acc[1:2, 0:B], slot_ref[0:1, 0:B]
+            )
+
+        acc[0:2, 0:B] = jnp.full((2, B), jnp.inf)
+
+        def cond(s):
+            return s[0] < n
+
+        def body(s):
+            c, word = s
+
+            @pl.when(c > 0)
+            def _():
+                merge()
+                acc[0:1, 0:B] = jnp.full((1, B), jnp.inf)
+
+            @pl.when((word & 1) != 0)
+            def _():
+                ring_commit(dot(c), c)
+            # next iteration's gate word: reads best_ref (merged through
+            # c-1), NOT this iteration's commit — the drain overlaps the
+            # commit's MXU/VPU work
+            nxt_word = (
+                jnp.min(best_ref[0:1, 0:B]) > -1.0
+            ).astype(jnp.int32)
+            return c + 1, nxt_word
+
+        c_fin, _ = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32))
+        )
+
+        @pl.when(c_fin > 0)
+        def _():
+            merge()
     else:
         raise ValueError(variant)
     o_ref[0:1, :] = best_ref[0:1, 0:B] + acc[0:1, 0:B]
@@ -214,7 +289,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     print(f"devices: {jax.devices()}  iters={iters} k={k}")
     variants = ["bare", "classify", "epi", "epi_when", "epi_while",
-                "epi_drain", "epi_x2", "epi_w256"]
+                "epi_drain", "epi_x2", "epi_w256", "ring"]
     base_ns = None
     for v in variants:
         out = run(v, k, iters, interp)
