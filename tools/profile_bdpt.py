@@ -36,6 +36,8 @@ def main():
     node, cam = flatten.find_camera(g.root)
     view = camera.make_view(node.to_world(), cam.fovy, width, height)
 
+    import numpy as np
+
     def timed(cfg, reps=2):
         img = bdpt.render_bdpt(scene, view, cfg, 0)
         jax.block_until_ready(img)
@@ -43,7 +45,10 @@ def main():
         for s in range(1, reps + 1):
             img = bdpt.render_bdpt(scene, view, cfg, s)
         jax.block_until_ready(img)
-        return (time.time() - t0) / reps
+        dt = (time.time() - t0) / reps
+        # fetching the mean both validates the render and defeats any
+        # async-dispatch measurement artifact
+        return dt, float(np.asarray(img).mean())
 
     base = dict(width=width, height=height, max_bounces=3, bsdf="disney",
                 sort_rays=True)
@@ -53,8 +58,9 @@ def main():
         ("lvc=4 + presample", dict(lvc_connections=4, presample_lights=4096)),
     ):
         cfg = integrator.RenderConfig(**{**base, **kw})
-        dt = timed(cfg)
-        print(f"bdpt atrium {width}x{height} {name:20s}: {dt*1e3:8.1f} ms/spp")
+        dt, mean = timed(cfg)
+        print(f"bdpt atrium {width}x{height} {name:20s}: {dt*1e3:8.1f} ms/spp"
+              f" (img mean {mean:.4f})", flush=True)
 
     if opts.has("hd"):
         # the VERDICT r2 deliverable: 1080p BDPT+LVC on a 16G chip via
@@ -65,14 +71,16 @@ def main():
                               presample_lights=4096)}
         )
         view_hd = camera.make_view(node.to_world(), cam.fovy, 1920, 1080)
-        img = bdpt.render_bdpt_chunked(scene, view_hd, cfg, 0)
+        chunks = opts.get_int("chunks", 0) or None
+        img = bdpt.render_bdpt_chunked(scene, view_hd, cfg, 0, chunks=chunks)
         jax.block_until_ready(img)
         t0 = time.time()
-        img = bdpt.render_bdpt_chunked(scene, view_hd, cfg, 1)
+        img = bdpt.render_bdpt_chunked(scene, view_hd, cfg, 1, chunks=chunks)
         jax.block_until_ready(img)
         dt = time.time() - t0
         print(f"bdpt atrium 1920x1080 chunked lvc=4+presample: "
-              f"{dt*1e3:8.1f} ms/spp")
+              f"{dt*1e3:8.1f} ms/spp (img mean "
+              f"{float(np.asarray(img).mean()):.4f})", flush=True)
     return 0
 
 
