@@ -244,14 +244,7 @@ def _kernel(n_sp, rays_ref, feat_ref, word_ref, o_ref, best_ref, slot_ref,
 @functools.partial(
     jax.jit, static_argnames=("variant", "k", "iters", "interpret")
 )
-def run(variant, k, iters, interpret=False):
-    lanes = 2 * B if variant in ("epi_x2", "epi_w256") else B
-    rays = (jnp.ones((48, lanes), jnp.float32) * 0.25).astype(jnp.bfloat16)
-    feat = (jnp.ones((NL, 48, 4 * k), jnp.float32) * 0.5).astype(
-        jnp.bfloat16
-    )
-    word = jnp.full((8,), 0xFF, jnp.int32)
-    n = jnp.asarray([iters], jnp.int32)
+def run_inner(rays, feat, word, n, variant, k, iters, interpret=False):
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -278,36 +271,69 @@ def run(variant, k, iters, interpret=False):
     )(n, rays, feat, word)
 
 
+def run(variant, k, iters, interpret=False):
+    """Build RUNTIME operands (random device arrays) and invoke the jitted
+    kernel. Operands must NOT be constants inside the jit: XLA constant-
+    folds the ENTIRE program — pallas_call included — by evaluating it at
+    compile time, so every timed call just fetches a cached constant (this
+    invalidated the first two on-chip tables of this tool AND round 3's
+    '74 ns deep pipelining' number: totals were flat at launch overhead
+    for any iters)."""
+    import numpy as np
+
+    lanes = 2 * B if variant in ("epi_x2", "epi_w256") else B
+    rng = np.random.default_rng(0)
+    rays = jnp.asarray(
+        rng.random((48, lanes), np.float32) * 0.5
+    ).astype(jnp.bfloat16)
+    feat = jnp.asarray(
+        rng.random((NL, 48, 4 * k), np.float32) * 0.5
+    ).astype(jnp.bfloat16)
+    word = jnp.full((8,), 0xFF, jnp.int32)
+    n = jnp.asarray([iters], jnp.int32)
+    return run_inner(rays, feat, word, n, variant, k, iters, interpret)
+
+
 def main():
     from stratum_tpu.utils.flags import Options
 
     opts = Options(sys.argv[1:])
-    iters = opts.get_int("iters", 256)
+    iters = opts.get_int("iters", 2048)
+    base_iters = opts.get_int("base_iters", 512)
     k = opts.get_int("k", 1024)
     interp = opts.get_bool("interpret", False)
     if opts.get_bool("cpu", False):
         jax.config.update("jax_platforms", "cpu")
-    print(f"devices: {jax.devices()}  iters={iters} k={k}")
+    print(f"devices: {jax.devices()}  iters={base_iters}->{iters} k={k}")
     variants = ["bare", "classify", "epi", "epi_when", "epi_while",
                 "epi_drain", "epi_x2", "epi_w256", "ring"]
     base_ns = None
-    for v in variants:
-        out = run(v, k, iters, interp)
+
+    def timed(v, it):
+        out = run(v, k, it, interp)
         out.block_until_ready()
         reps = 8
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = run(v, k, iters, interp)
+            out = run(v, k, it, interp)
         out.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
-        commits = iters * (2 if v in ("epi_x2", "epi_w256") else 1)
-        ns = dt / commits * 1e9
+        return (time.perf_counter() - t0) / reps
+
+    for v in variants:
+        # marginal cost between two trip counts cancels launch + RPC
+        # overhead (the axon tunnel adds a per-dispatch floor that varies
+        # by milliseconds between configs)
+        d_lo = timed(v, base_iters)
+        d_hi = timed(v, iters)
+        per = 2 if v in ("epi_x2", "epi_w256") else 1
+        ns = (d_hi - d_lo) / ((iters - base_iters) * per) * 1e9
         note = ""
         if v == "bare":
             base_ns = ns
         elif base_ns:
             note = f"  ({ns - base_ns:+8.1f} over bare)"
-        print(f"{v:10s}: {dt * 1e3:8.3f} ms  {ns:8.1f} ns/commit{note}")
+        print(f"{v:10s}: {d_hi * 1e3:8.3f} ms  {ns:8.1f} ns/commit "
+              f"(marginal){note}", flush=True)
 
 
 if __name__ == "__main__":
