@@ -52,6 +52,7 @@ def main():
     height = opts.get_int("height", 1080)
     block = opts.get_int("block", 2048)
     run_e2e = opts.has("e2e")
+    ring = opts.has("ring")  # deferred-merge kernel (pallas_trace.RING)
     ks = [int(k) for k in opts.get_str("ks", "128,256,1024").split(",")]
     groups = [int(g) for g in opts.get_str("groups", "1,8").split(",")]
     g = builtin.atrium()
@@ -86,9 +87,9 @@ def main():
 
         for grp in groups:
             @jax.jit
-            def closest(o, d, grp=grp, fat=fat, feat=feat):
+            def closest(o, d, grp=grp, fat=fat, feat=feat, ring=ring):
                 h = spallas.pallas_closest(
-                    fat, feat, o, d, block=block, entry_group=grp
+                    fat, feat, o, d, block=block, entry_group=grp, ring=ring
                 )
                 return h.t.sum()
 
@@ -120,7 +121,7 @@ def main():
                 width=width, height=height, max_bounces=4,
                 sort_rays=True, tracer="pallas",
                 entry_group=grp, entry_group_primary=grp,
-                entry_group_shadow=grp,
+                entry_group_shadow=grp, ring=int(ring),
             )
             rpc = integrator.render_path_with_counts
             img, n_rays = rpc(scene, view, cfg, 0)
