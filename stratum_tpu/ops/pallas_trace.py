@@ -619,8 +619,8 @@ def _popcount_word(word, subs):
 
 def _kernel_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
                  centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
-                 csem, best_ref, slot_ref, ring_t, ring_s, mode="x3",
-                 subs=1, early_exit=False):
+                 csem, best_ref, slot_ref, ring_t, ring_s, mm_buf=None,
+                 mode="x3", subs=1, early_exit=False, interleave=False):
     """Deferred-merge closest kernel (see RING). Differences vs _kernel:
 
     - per-sub commits write their per-visit (t, slot) minima into disjoint
@@ -689,11 +689,9 @@ def _kernel_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
         def _(p=p):
             dma(p, p).start()
 
-    def commit(slab, leaf, lo_c):
-        """Per-visit per-sub minimum into the ring slot (no best read)."""
-        abs_a, stn, valid = _mt_quants(
-            rays_mm[:, lo_c : lo_c + sw], slab, k, mode
-        )
+    def epilogue(abs_a, stn, valid, leaf, lo_c):
+        """Classify output -> per-visit per-sub minimum into the ring slot
+        (no best read)."""
         r = lax.bitcast_convert_type(
             jnp.int32(0x7EF311C3)
             - lax.bitcast_convert_type(abs_a, jnp.int32),
@@ -713,6 +711,29 @@ def _kernel_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
             (packed & ~mask).astype(jnp.float32)
             + leaf.astype(jnp.float32) * jnp.float32(k)
         )
+
+    def commit(slab, leaf, lo_c):
+        abs_a, stn, valid = _mt_quants(
+            rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+        )
+        epilogue(abs_a, stn, valid, leaf, lo_c)
+
+    def commit_mm(slab, lo_c, half):
+        """Interleave phase 1: stream the slab through the MXU into a
+        scratch half; the VPU epilogue runs in phase 2 so the OTHER half's
+        matmul overlaps it (the [4K,sw] result materializes in VMEM either
+        way — dot outputs far exceed the vector register file)."""
+        mm_buf[half] = _mt_matmul(
+            rays_mm[:, lo_c : lo_c + sw], slab, mode
+        )
+
+    def commit_epi(leaf, lo_c, half):
+        out = mm_buf[half]
+        abs_a, stn, valid = _mt_classify(
+            out[0 * k : 1 * k], out[1 * k : 2 * k],
+            out[2 * k : 3 * k], out[3 * k : 4 * k],
+        )
+        epilogue(abs_a, stn, valid, leaf, lo_c)
 
     def merge():
         tk = ring_t[...]
@@ -753,10 +774,31 @@ def _kernel_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
 
         # 2. this visit's commits, gated by the CARRIED word (no drain
         #    in front of the matmuls)
-        for s in range(subs):
-            pl.when((word & (1 << s)) != 0)(
-                functools.partial(commit, slab, leaf, s * sw)
-            )
+        if interleave:
+            # sub-pair phase split: issue BOTH predicated matmuls before
+            # either epilogue, so the VPU classify/pack/reduce of sub s
+            # overlaps the MXU slab stream of sub s+1
+            for s0 in range(0, subs, 2):
+                s1 = s0 + 1
+                pl.when((word & (1 << s0)) != 0)(
+                    functools.partial(commit_mm, slab, s0 * sw, 0)
+                )
+                if s1 < subs:
+                    pl.when((word & (1 << s1)) != 0)(
+                        functools.partial(commit_mm, slab, s1 * sw, 1)
+                    )
+                pl.when((word & (1 << s0)) != 0)(
+                    functools.partial(commit_epi, leaf, s0 * sw, 0)
+                )
+                if s1 < subs:
+                    pl.when((word & (1 << s1)) != 0)(
+                        functools.partial(commit_epi, leaf, s1 * sw, 1)
+                    )
+        else:
+            for s in range(subs):
+                pl.when((word & (1 << s)) != 0)(
+                    functools.partial(commit, slab, leaf, s * sw)
+                )
 
         # 3. next visit's gate word + early-exit bound: both read best
         #    merged through c-1 and are independent of step 2 — their
@@ -1136,6 +1178,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             f"packed-argmin index budget ({1 << _IDX_BITS}); rebuild the "
             "BVH with smaller leaves or raise _IDX_BITS"
         )
+    ring = int(ring)
     if ring and (chunks > 1 or epi > 1 or gate_mode != "normal"):
         raise ValueError(
             "ring (deferred-merge commits) requires the flat slab layout "
@@ -1152,6 +1195,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
         kernel = (
             functools.partial(
                 _kernel_ring, mode=mode, subs=subs, early_exit=early_exit,
+                interleave=ring >= 2,
             )
             if kernel_name == "closest"
             else functools.partial(_kernel_occ_ring, mode=mode, subs=subs)
@@ -1202,6 +1246,18 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                     pltpu.VMEM((1, block), jnp.float32),  # ring_s
                 ]
                 if ring
+                else []
+            )
+            + (
+                # interleave (ring=2, closest only): two [4K, sw] matmul
+                # output halves so sub s+1's MXU stream overlaps sub s's
+                # VPU epilogue
+                [
+                    pltpu.VMEM(
+                        (2, leaf_feat.shape[-1], block // subs), jnp.float32
+                    )
+                ]
+                if ring >= 2 and kernel_name == "closest"
                 else []
             ),
         ),
@@ -1312,7 +1368,7 @@ def pallas_closest(
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, early_exit: bool | None = None,
-    slot_payload=None, ring: bool | None = None,
+    slot_payload=None, ring: int | bool | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
@@ -1423,7 +1479,7 @@ def pallas_occluded(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
-    entry_group: int | None = None, ring: bool | None = None,
+    entry_group: int | None = None, ring: int | bool | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately

@@ -160,9 +160,12 @@ class RenderConfig:
                     # visit late, and the pretest gate word is carried a
                     # visit ahead — removes the best_ref read-modify-write
                     # serialization between MXU and VPU. -1 = module
-                    # default, 0 = off, 1 = on. Static jit key (see
-                    # entry_group note on why module-global flips are
-                    # unsafe under cached traces).
+                    # default, 0 = off, 1 = on, 2 = on + sub-pair MXU/VPU
+                    # interleave (phase-split commits through a scratch
+                    # ring so sub s+1's matmul streams during sub s's
+                    # epilogue). Static jit key (see entry_group note on
+                    # why module-global flips are unsafe under cached
+                    # traces).
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -306,7 +309,7 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         blk = 2048
         eg_c = cfg.entry_group if cfg.entry_group > 0 else None
         eg_o = cfg.entry_group_shadow if cfg.entry_group_shadow > 0 else None
-        rng_m = None if cfg.ring < 0 else bool(cfg.ring)
+        rng_m = None if cfg.ring < 0 else int(cfg.ring)
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,

@@ -272,8 +272,11 @@ def test_pallas_tracer_epi_gated(rng_np, subs, epi):
     np.testing.assert_array_equal(o0, oe)
 
 
-@pytest.mark.parametrize("subs,early_exit", [(1, False), (2, True), (4, True)])
-def test_pallas_tracer_ring(rng_np, subs, early_exit):
+@pytest.mark.parametrize(
+    "subs,early_exit,ring",
+    [(1, False, 1), (2, True, 1), (4, True, 1), (2, True, 2), (4, False, 2)],
+)
+def test_pallas_tracer_ring(rng_np, subs, early_exit, ring):
     """Deferred-merge (ring) kernels are EXACTLY equal to the serialized
     kernels: the per-visit packed (t | idx) minima merged one visit late
     reproduce the same winners and tie-breaks, the one-visit-stale pretest
@@ -297,7 +300,7 @@ def test_pallas_tracer_ring(rng_np, subs, early_exit):
     )
     hr = pallas_trace.pallas_closest(
         fat, feat, o, d, t_max=t_max, block=256, interpret=True, subs=subs,
-        early_exit=early_exit, ring=True,
+        early_exit=early_exit, ring=ring,
     )
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hr.t))
     assert np.array_equal(np.asarray(h0.tri), np.asarray(hr.tri))
@@ -311,7 +314,7 @@ def test_pallas_tracer_ring(rng_np, subs, early_exit):
     orr = np.asarray(
         pallas_trace.pallas_occluded(
             fat, feat, o, d, occ_max, block=256, interpret=True, subs=subs,
-            ring=True,
+            ring=ring,
         )
     )
     np.testing.assert_array_equal(o0, orr)

@@ -82,9 +82,9 @@ def main():
     so = hp - direction * 1e-3
     t_occ = jnp.full((n,), 50.0, jnp.float32)
 
-    for ring in (False, True):
+    for ring in (0, 1, 2):
         @jax.jit
-        def closest(o, d, ring=ring):
+        def closest(o, d, ring=int(ring)):
             h = spallas.pallas_closest(
                 fat, feat, o, d, block=block, ring=ring
             )
@@ -132,7 +132,6 @@ def main():
             presample_lights=4096, coherent_tiles=16, tracer="pallas",
             ring=int(ring),
         )
-        cfg = dataclasses.replace(cfg)
         rpc = integrator.render_path_with_counts
         img, n_rays = rpc(scene, view, cfg, 0)
         fetch(n_rays)
