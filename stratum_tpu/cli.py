@@ -180,6 +180,15 @@ def main(argv=None) -> int:
     c2w, fovy = ensure_camera(g, opts, (lo, hi))
     view = scamera.make_view(c2w, fovy, width, height)
 
+    # --quality: the time-to-quality preset (beyond-reference knobs whose
+    # composition measured 2.5-5.5x lower RMSE at equal budget on cornell,
+    # tools/quality_bench.py): Kronecker lattice sampler + unbiased
+    # shadow-ray RR (tau=0.05, -9% wall at identical mean) + adaptive
+    # sample allocation. Explicit flags still override each piece. The
+    # bench keeps these OFF so Mrays/s stays comparable to the reference's
+    # ray counters.
+    quality = opts.get_bool("quality", False)
+
     # full parameter surface (reference: every BDPT option is a CLI flag,
     # Node/BDPT.cpp:54-127)
     cfg = sintegrator.RenderConfig(
@@ -201,7 +210,7 @@ def main(argv=None) -> int:
         coherent_tiles=opts.get_int("coherentTiles", 0),
         # --shadowRr=L: RR NEE shadow rays whose unoccluded contribution
         # luminance is below L (survivors carry 1/p; unbiased)
-        shadow_rr=opts.get_float("shadowRr", 0.0),
+        shadow_rr=opts.get_float("shadowRr", 0.05 if quality else 0.0),
         # --clampIndirect=L: firefly suppression (biased, bounded)
         clamp_indirect=opts.get_float("clampIndirect", 0.0),
         # --texFilter=stochastic: one mip per sample picked by the blend
@@ -230,7 +239,7 @@ def main(argv=None) -> int:
     slights.ENV_SAMPLER = opts.get_str("envSampler", slights.ENV_SAMPLER)
     # --sampler=kron: Cranley-Patterson-rotated Kronecker lattice instead
     # of independent pcg4d draws — lower RMSE at equal spp (core/rng.py)
-    srng.QMC = opts.get_str("sampler", srng.QMC)
+    srng.QMC = opts.get_str("sampler", "kron" if quality else srng.QMC)
     try:
         return _render_and_write(
             opts, scene, stats, view, cfg, integrator_name, width, height,
@@ -259,7 +268,9 @@ def _render_and_write(
         )
     elif integrator_name == "direct":
         img = sintegrator.render_direct_progressive(scene, view, cfg, spp, seed)
-    elif integrator_name == "path" and opts.has("adaptive"):
+    elif integrator_name == "path" and opts.get_bool(
+        "adaptive", opts.get_bool("quality", False)
+    ):
         # variance-guided adaptive sampling (render/adaptive.py): spp is
         # the AVERAGE per-pixel budget; measured 1.5-1.8x lower RMSE at
         # equal budget vs uniform on Cornell

@@ -50,6 +50,16 @@ def test_cli_adaptive_kron(tmp_path):
     _run(tmp_path, "--adaptive", "--sampler=kron", "--spp=4")
 
 
+def test_cli_quality_preset(tmp_path):
+    """--quality = kron sampler + shadow-ray RR + adaptive allocation (the
+    measured time-to-quality composition, tools/quality_bench.py); pieces
+    stay individually overridable."""
+    img = _run(tmp_path, "--quality", "--spp=4")
+    assert img.mean() > 0.005
+    # override one piece: adaptive off pushes through the plain path
+    _run(tmp_path, "--quality", "--adaptive=0", "--spp=4")
+
+
 def test_cli_denoise_tonemap(tmp_path):
     _run(tmp_path, "--denoise", "--tonemap=filmic", "--autoexposure")
 
