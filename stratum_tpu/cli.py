@@ -333,6 +333,9 @@ def _render_and_write(
             use_restir=True,
             restir_candidates=opts.get_int("ris", 4),
             restir_spatial_taps=opts.get_int("spatialTaps", 1),
+            # --hashJitter: jitter spatial-tap hash lookups tangentially
+            # by up to one cell (reference eHashGridJitter)
+            restir_hash_jitter=opts.get_bool("hashJitter", False),
             seed0=seed,
         )
         img = sess.step(spp)

@@ -99,7 +99,7 @@ def _unpack_state(p: jnp.ndarray) -> RestirState:
 def restir_di(
     scene, view, cfg: RenderConfig, state: RestirState, seed,
     candidates: int = 4, history_limit: float = 20.0,
-    prev_view=None, spatial_taps: int = 0,
+    prev_view=None, spatial_taps: int = 0, hash_jitter: bool = False,
 ):
     """One ReSTIR DI frame. Returns (new_state, direct_radiance [H,W,3]).
 
@@ -112,7 +112,7 @@ def restir_di(
     hist_packed = _pack_state(state) if prev_view is not None else None
     new_state, direct = _restir_flat(
         scene, view, cfg, state, hist_packed, px, py, seed,
-        candidates, history_limit, prev_view, spatial_taps,
+        candidates, history_limit, prev_view, spatial_taps, hash_jitter,
     )
     return new_state, direct.reshape(cfg.height, cfg.width, 3)
 
@@ -120,7 +120,7 @@ def restir_di(
 def _restir_flat(
     scene, view, cfg: RenderConfig, state: RestirState, hist_packed,
     px, py, seed, candidates: int, history_limit: float,
-    prev_view, spatial_taps: int,
+    prev_view, spatial_taps: int, hash_jitter: bool = False,
 ):
     """Flat-core ReSTIR DI over an arbitrary pixel subset (``px``/``py``
     absolute coords, ``state`` rows aligned with those lanes). Shared by the
@@ -250,7 +250,21 @@ def _restir_flat(
         cam_pos = view.camera_to_world[:, 3]
         cell = shg.cell_size_for(cam_pos, sp.position, 2.0e-3)
         grid = shg.build_hashgrid(sp.position, cell)
-        ids, valid = shg.query(grid, sp.position, max_results=8)
+        qpos = sp.position
+        if hash_jitter:
+            # tangent-plane cell jitter (reference eHashGridJitter,
+            # path.hlsli:405-439: cell_size * u * (t cos phi + b sin phi))
+            # — decorrelates cell-boundary artifacts by letting taps reach
+            # across the quantization edge
+            uj, st = srng.next_floats(st, 2)
+            t_b, b_b = smath.make_orthonormal(sp.geom_normal)
+            phi = uj[..., 1] * (2.0 * jnp.pi)
+            qpos = sp.position + (
+                cell
+                * uj[..., 0:1]
+                * (t_b * jnp.cos(phi)[:, None] + b_b * jnp.sin(phi)[:, None])
+            )
+        ids, valid = shg.query(grid, qpos, max_results=8)
         packed = _pack_state(
             RestirState(
                 light_pos=merged.sample["pos"],
@@ -312,10 +326,11 @@ def _restir_flat(
     return new_state, direct
 
 
-@partial(jax.jit, static_argnums=(2, 5, 6, 8))
+@partial(jax.jit, static_argnums=(2, 5, 6, 8, 9))
 def restir_di_jit(scene, view, cfg, state, seed, candidates=4,
-                  history_limit=20.0, prev_view=None, spatial_taps=0):
+                  history_limit=20.0, prev_view=None, spatial_taps=0,
+                  hash_jitter=False):
     return restir_di(
         scene, view, cfg, state, seed, candidates, history_limit,
-        prev_view, spatial_taps,
+        prev_view, spatial_taps, hash_jitter,
     )

@@ -37,6 +37,9 @@ class RenderSession:
     use_restir: bool = False  # ReSTIR DI + indirect-only PT composition
     restir_candidates: int = 4
     restir_spatial_taps: int = 0
+    restir_hash_jitter: bool = False  # tangent-plane cell jitter on the
+                                      # spatial-tap lookups (reference
+                                      # eHashGridJitter, path.hlsli:405-439)
     # >1: step(n) traces groups of this many samples as extra wavefront
     # lanes (integrator.render_path_lanes) — coherence + amortization;
     # memory scales with the value (2-4 practical at 1080p)
@@ -158,6 +161,7 @@ class RenderSession:
                     self.scene, self.view, self.cfg, self.restir_state,
                     seed, self.restir_candidates, 20.0,
                     self._restir_prev_view, self.restir_spatial_taps,
+                    self.restir_hash_jitter,
                 )
                 self._restir_prev_view = None  # consumed: state now current
                 icfg = _dc.replace(self.cfg, indirect_only=True)

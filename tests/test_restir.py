@@ -118,6 +118,29 @@ def test_restir_spatial_reuse_unbiased(setup):
     assert mean[mask].mean() == pytest.approx(ref.mean(where=mask[..., None] & np.ones(3, bool)), rel=0.08)
 
 
+def test_restir_hash_jitter_unbiased(setup):
+    """Tangent-plane cell jitter on the spatial-tap lookups (reference
+    eHashGridJitter, path.hlsli:405-439) keeps the mean — it only changes
+    WHICH same-cell/adjacent-cell neighbors merge in."""
+    scene, view, cfg = setup
+    ref = np.asarray(
+        integrator.render_direct_progressive(scene, view, cfg, 96)
+    )
+    state = restir.init_restir(cfg.width * cfg.height)
+    acc = 0.0
+    frames = 24
+    for s in range(frames):
+        state, img = restir.restir_di_jit(
+            scene, view, cfg, state, s, 4, 20.0, None, 2, True,
+        )
+        acc = acc + np.asarray(img)
+    mean = acc / frames
+    mask = ref.max(axis=-1) < 2.0
+    assert mean[mask].mean() == pytest.approx(
+        ref.mean(where=mask[..., None] & np.ones(3, bool)), rel=0.08
+    )
+
+
 def test_restir_session_composition(setup):
     """RenderSession with use_restir composes ReSTIR DI + indirect-only PT
     into the same mean as plain path tracing (makes restir.py's composition
