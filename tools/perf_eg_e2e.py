@@ -43,6 +43,7 @@ def main():
     from stratum_tpu.scene import builtin, flatten
 
     spp = opts.get_int("spp", 3)
+    ring = 1 if opts.has("ring") else -1
     ks = [int(k) for k in opts.get_str("ks", "512,256").split(",")]
     cfgs = [
         tuple(int(x) for x in c.split(":"))
@@ -68,7 +69,7 @@ def main():
         for egc, egp, egs in cfgs:
             cfg = dataclasses.replace(
                 base, entry_group=egc, entry_group_primary=egp,
-                entry_group_shadow=egs,
+                entry_group_shadow=egs, ring=ring,
             )
             img, n_rays = integrator.render_path_with_counts(
                 scene, view, cfg, 0
