@@ -245,6 +245,7 @@ def _kernel(n_sp, rays_ref, feat_ref, word_ref, o_ref, best_ref, slot_ref,
     jax.jit, static_argnames=("variant", "k", "iters", "interpret")
 )
 def run_inner(rays, feat, word, n, variant, k, iters, interpret=False):
+    lanes = rays.shape[1]
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
