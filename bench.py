@@ -169,6 +169,24 @@ def main() -> int:
         except Exception as e:  # keep the headline even if a side scene dies
             print(f"colonnade bench failed: {e!r}", file=sys.stderr)
 
+    # --- BDPT at 1080p (the reference's headline renderer, chunked) -------
+    if not on_cpu and not opts.has("nobdpt"):
+        try:
+            from stratum_tpu.render import bdpt as sbdpt
+
+            cfgb = integrator.RenderConfig(
+                width=width, height=height, max_bounces=3, bsdf="disney",
+                sort_rays=True, lvc_connections=4, presample_lights=4096,
+            )
+            img = sbdpt.render_bdpt_chunked(scene, view, cfgb, 0, chunks=16)
+            jax.block_until_ready(img)
+            t0 = time.time()
+            img = sbdpt.render_bdpt_chunked(scene, view, cfgb, 1, chunks=16)
+            jax.block_until_ready(img)
+            results["bdpt_hd_ms_per_spp"] = round((time.time() - t0) * 1e3, 1)
+        except Exception as e:
+            print(f"bdpt bench failed: {e!r}", file=sys.stderr)
+
     # --- config 1/3: Cornell (MXU dense path) ------------------------------
     g2 = builtin.cornell_box()
     scene2, _ = flatten.flatten(g2.root)
@@ -194,7 +212,8 @@ def main() -> int:
             f"cornell_e2e={results['cornell_e2e']} "
             f"colonnade_e2e={results.get('colonnade_e2e')} "
             f"primary_traversal={results.get('atrium_primary_traversal')} "
-            f"atrium_ms_per_spp={results['atrium_ms_per_spp']}"
+            f"atrium_ms_per_spp={results['atrium_ms_per_spp']} "
+            f"bdpt_hd_ms_per_spp={results.get('bdpt_hd_ms_per_spp')}"
         ),
         "value": headline,
         "unit": "Mrays/sec/chip",
