@@ -399,7 +399,8 @@ def _connect_paired(scene, cfg, z, radiance, depth,
 def _connect_lvc(scene, cfg, st, z, radiance, depth,
                  yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
                  yc_mat, yc_uvs, yc_front, yc_valid,
-                 bsdf_eval, trace_occluded, zslot_mat):
+                 bsdf_eval, trace_occluded, zslot_mat,
+                 prev_lvc=None, cam_pos=None):
     """Light-vertex-cache connections with reservoir resampling (reference:
     connect_lvc, path.hlsli:682-822): every camera vertex draws
     cfg.lvc_connections candidates uniformly from the POOLED cache of ALL
@@ -440,6 +441,22 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
 
     n_cells = n * depth  # slots 1..depth participate (slot 0 is NEE's s=1)
 
+    # cross-frame reservoir reuse (reference eLVCReservoirReuse,
+    # path.hlsli:724-770): the previous frame's per-(lane, slot) winning
+    # reservoirs, keyed by a world-space hash grid over their camera-vertex
+    # positions, merge in as extra candidates re-targeted at this frame's
+    # vertices. Standard ReSTIR temporal semantics (M-capped history).
+    prev_grid = None
+    if prev_lvc is not None:
+        from stratum_tpu.ops import hashgrid as shg
+
+        cell_sz = shg.cell_size_for(
+            cam_pos, prev_lvc["pos"], 2.0e-3
+        )
+        prev_grid = shg.build_hashgrid(prev_lvc["pos"], cell_sz)
+    new_pos = []
+    new_packed = []
+
     for j in range(depth):
         mat_z = zslot_mat(j)
         z_j = z.position[:, j]
@@ -447,22 +464,10 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
         ng_j = z.ng[:, j]
         wo_z_local = smath.to_local(z.wo[:, j], ns_j)
 
-        payload0 = dict(
-            contrib=jnp.zeros((n, 3), jnp.float32),
-            wi=jnp.zeros((n, 3), jnp.float32),
-            dist=jnp.zeros((n,), jnp.float32),
-            pdf4=jnp.zeros((n, 4), jnp.float32),
-            row=jnp.zeros((n, cache.shape[1]), jnp.float32),
-        )
-        res = sres.init_reservoir(payload0, n)
-        for _r in range(cfg.lvc_connections):
-            u, st = srng.next_floats(st, 2)
-            cell = jnp.minimum(
-                (u[..., 0] * n_cells).astype(jnp.int32), n_cells - 1
-            )
-            lane = cell // depth
-            slot = cell - lane * depth + 1  # 1..depth
-            row = cache[lane * d1 + slot]
+        def eval_cand(row, z_j=z_j, ns_j=ns_j, mat_z=mat_z,
+                      wo_z_local=wo_z_local, j=j):
+            """Re-target a cache row at this frame's camera vertex:
+            unshadowed contribution + the four connection pdfs."""
             pos_y = row[:, 0:3]
             ns_y = row[:, 3:6]
             wo_y = row[:, 9:12]
@@ -495,13 +500,77 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
                 ),
                 row=row,
             )
+            return cand, p_hat
+
+        payload0 = dict(
+            contrib=jnp.zeros((n, 3), jnp.float32),
+            wi=jnp.zeros((n, 3), jnp.float32),
+            dist=jnp.zeros((n,), jnp.float32),
+            pdf4=jnp.zeros((n, 4), jnp.float32),
+            row=jnp.zeros((n, cache.shape[1]), jnp.float32),
+        )
+        res = sres.init_reservoir(payload0, n)
+        for _r in range(cfg.lvc_connections):
+            u, st = srng.next_floats(st, 2)
+            cell = jnp.minimum(
+                (u[..., 0] * n_cells).astype(jnp.int32), n_cells - 1
+            )
+            lane = cell // depth
+            slot = cell - lane * depth + 1  # 1..depth
+            cand, p_hat = eval_cand(cache[lane * d1 + slot])
             # RIS weight p_hat / p_select. Each lane owes the SUM over its
             # own depth strategies; lanes are iid replicas, so drawing from
             # the pooled n*depth cells has per-lane selection mass
             # p_select = 1/depth (the lane dimension averages out).
             res = sres.update(res, cand, p_hat, p_hat * depth, u[..., 1])
 
+        if prev_grid is not None:
+            from stratum_tpu.ops import hashgrid as shg
+
+            u, st = srng.next_floats(st, 2)
+            ids, valid_q = shg.query(prev_grid, z_j, max_results=4)
+            n_valid = jnp.sum(valid_q, axis=-1)
+            pick = jnp.minimum(
+                (u[..., 0] * n_valid).astype(jnp.int32),
+                jnp.maximum(n_valid - 1, 0),
+            )
+            pid = jnp.take_along_axis(ids, pick[:, None], axis=-1)[:, 0]
+            ok = (n_valid > 0) & (pid >= 0) & z.valid[:, j]
+            prow = prev_lvc["packed"][jnp.maximum(pid, 0)]
+            cw = cache.shape[1]
+            cand, p_hat = eval_cand(prow[:, :cw])
+            # merge with weight p_hat_here * W_prev * M_prev (the standard
+            # re-target merge; see restir.merge_in). History M capped at
+            # lvc_connections x LVC_HISTORY_LIMIT like ReSTIR temporal.
+            w_prev = prow[:, cw]          # stored contribution weight W
+            m_prev = jnp.minimum(
+                prow[:, cw + 1], cfg.lvc_connections * LVC_HISTORY_LIMIT
+            )
+            m_prev = jnp.where(ok, m_prev, 0.0)
+            w_o = p_hat * w_prev * m_prev
+            total = res.total_weight + w_o
+            keep = (u[..., 1] * jnp.maximum(total, 1e-20)) < w_o
+            res = sres.Reservoir(
+                sample=sres._tree_select(keep, cand, res.sample),
+                target_pdf=jnp.where(keep, p_hat, res.target_pdf),
+                total_weight=total,
+                m=res.m + m_prev,
+            )
+
         kept = res.sample
+        if prev_lvc is not None or cam_pos is not None:
+            # record this frame's winners for the next frame's grid: the
+            # winner's cache row + [W, M] at this camera vertex's position
+            w_now = smath.safe_div(
+                res.total_weight,
+                res.m * jnp.maximum(res.target_pdf, 1e-20),
+            )
+            new_pos.append(z_j)
+            new_packed.append(
+                jnp.concatenate(
+                    [kept["row"], w_now[:, None], res.m[:, None]], axis=-1
+                )
+            )
         row = kept["row"]
         wi = kept["wi"]
         dist = kept["dist"]
@@ -547,11 +616,18 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
             kept["contrib"] * (w_ris * w_mis)[:, None],
             0.0,
         )
-    return radiance, st
+    new_lvc = None
+    if new_pos:
+        new_lvc = dict(
+            pos=jnp.concatenate(new_pos, axis=0),
+            packed=jnp.concatenate(new_packed, axis=0),
+        )
+    return radiance, st, new_lvc
 
 
 def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
-               px=None, py=None, lane0=0, num_light_paths=None):
+               px=None, py=None, lane0=0, num_light_paths=None,
+               prev_lvc=None, want_lvc_state=False):
     """One bidirectional sample per pixel. Returns (per-pixel radiance
     [N,3] from strategies with t>=2, splat image [num_pix,3] from t=1).
 
@@ -752,12 +828,15 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         )
 
     # ---- strategies s>=2, t>=2: subpath connections ------------------------
+    new_lvc = None
     if cfg.lvc_connections > 0:
-        radiance, st = _connect_lvc(
+        radiance, st, new_lvc = _connect_lvc(
             scene, cfg, st, z, radiance, depth,
             yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
             yc_mat, yc_uvs, yc_front, yc_valid,
             bsdf_eval, trace_occluded, zslot_mat,
+            prev_lvc=prev_lvc,
+            cam_pos=cam_pos if want_lvc_state else None,
         )
     else:
         radiance = _connect_paired(
@@ -829,6 +908,8 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
             jnp.where(ok[:, None], contrib * w[:, None], 0.0)
         )
 
+    if want_lvc_state:
+        return radiance, splat, new_lvc
     return radiance, splat
 
 
@@ -837,6 +918,28 @@ def render_bdpt(scene: SceneData, view, cfg: RenderConfig, seed):
     rad, splat = trace_bdpt(scene, view, cfg, seed)
     img = rad.reshape(cfg.height, cfg.width, 3)
     return img + splat.reshape(cfg.height, cfg.width, 3)
+
+
+# cross-frame LVC reservoir history M-cap, in multiples of
+# cfg.lvc_connections (reference eLVCReservoirReuse; the cap bounds the
+# temporal correlation exactly like ReSTIR's history_limit)
+LVC_HISTORY_LIMIT = 8.0
+
+
+@partial(jax.jit, static_argnums=(2,))
+def render_bdpt_reuse(scene: SceneData, view, cfg: RenderConfig, seed,
+                      prev_lvc=None):
+    """One BDPT frame with cross-frame LVC reservoir reuse (reference
+    eLVCReservoirReuse, path.hlsli:724-770): returns (image, lvc_state);
+    feed the state back as ``prev_lvc`` on the next frame. Standard
+    ReSTIR temporal semantics — the M-cap (LVC_HISTORY_LIMIT) bounds
+    history correlation; a static scene + camera keeps the estimator
+    consistent in the mean (test: mean vs no-reuse)."""
+    rad, splat, new_lvc = trace_bdpt(
+        scene, view, cfg, seed, prev_lvc=prev_lvc, want_lvc_state=True
+    )
+    img = rad.reshape(cfg.height, cfg.width, 3)
+    return img + splat.reshape(cfg.height, cfg.width, 3), new_lvc
 
 
 # pixels per chunk before the [N, depth] subpath arrays (~1 KB/pixel with

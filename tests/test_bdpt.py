@@ -163,6 +163,30 @@ def test_lvc_matches_paired(cornell_empty):
     )
 
 
+def test_lvc_cross_frame_reuse_mean(cornell_empty):
+    """Cross-frame LVC reservoir reuse (reference eLVCReservoirReuse,
+    path.hlsli:724-770): merging the previous frame's hash-grid-keyed
+    winning reservoirs keeps the progressive mean on a static scene
+    (standard M-capped ReSTIR temporal semantics)."""
+    scene, view = cornell_empty
+    cfg = integrator.RenderConfig(
+        width=32, height=32, max_bounces=2, rr_depth=100, lvc_connections=4
+    )
+    spp = 24
+    base = np.asarray(bdpt.render_bdpt_progressive(scene, view, cfg, spp))
+    acc = None
+    state = None
+    for s in range(spp):
+        img, state = bdpt.render_bdpt_reuse(scene, view, cfg, s, state)
+        img = np.asarray(img)
+        acc = img if acc is None else acc + img
+    reuse = acc / spp
+    assert np.isfinite(reuse).all()
+    assert reuse.mean() == pytest.approx(base.mean(), rel=0.06), (
+        reuse.mean(), base.mean()
+    )
+
+
 def test_bdpt_chunked_matches_unchunked():
     """Chunked subpath storage (render_bdpt_chunked) reproduces the
     unchunked estimator: camera streams are pixel-keyed and light streams
