@@ -208,6 +208,9 @@ def main(argv=None) -> int:
         defer_shadows=opts.get_bool("deferShadows", True),
         presample_lights=opts.get_int("presampleLights", 0),
         coherent_tiles=opts.get_int("coherentTiles", 0),
+        # --lvcConnections=R: BDPT light-vertex-cache reservoir connections
+        # (R candidates/vertex) instead of deterministic pairing
+        lvc_connections=opts.get_int("lvcConnections", 0),
         # --shadowRr=L: RR NEE shadow rays whose unoccluded contribution
         # luminance is below L (survivors carry 1/p; unbiased)
         shadow_rr=opts.get_float("shadowRr", 0.05 if quality else 0.0),
@@ -316,12 +319,28 @@ def _render_and_write(
     elif integrator_name == "bdpt":
         from stratum_tpu.render import bdpt as sbdpt
 
-        img = sbdpt.render_bdpt_progressive(
-            scene, view, cfg, spp, seed,
-            chunks=(
-                opts.get_int("bdptChunks", 0) or None
-            ),  # default: auto from CHUNK_PIXELS
-        )
+        if opts.get_bool("lvcReuse", False) and cfg.lvc_connections > 0:
+            # --lvcReuse: cross-frame LVC reservoir reuse (reference
+            # eLVCReservoirReuse) — the progressive loop threads the
+            # hash-grid reservoir state between frames
+            import jax as _jax
+
+            acc = None
+            state = None
+            for s in range(spp):
+                frame, state = sbdpt.render_bdpt_reuse(
+                    scene, view, cfg, seed + s, state
+                )
+                acc = frame if acc is None else acc + frame
+            img = acc / spp
+            _jax.block_until_ready(img)
+        else:
+            img = sbdpt.render_bdpt_progressive(
+                scene, view, cfg, spp, seed,
+                chunks=(
+                    opts.get_int("bdptChunks", 0) or None
+                ),  # default: auto from CHUNK_PIXELS
+            )
     elif integrator_name == "restir":
         # ReSTIR DI (reservoirs persist across the spp frames) composed
         # with indirect-only progressive PT (render/session.py does the

@@ -42,6 +42,17 @@ def test_cli_bdpt(tmp_path):
     _run(tmp_path, "--integrator=bdpt", "--maxBounces=2")
 
 
+def test_cli_bdpt_lvc_reuse(tmp_path):
+    """--lvcConnections enables LVC reservoir connections; --lvcReuse
+    threads the cross-frame reservoir state through the progressive loop
+    (reference eLVCReservoirReuse)."""
+    img = _run(
+        tmp_path, "--integrator=bdpt", "--maxBounces=2",
+        "--lvcConnections=2", "--lvcReuse",
+    )
+    assert img.mean() > 0.005
+
+
 def test_cli_restir(tmp_path):
     _run(tmp_path, "--integrator=restir", "--ris=2")
 
