@@ -132,6 +132,20 @@ EPI = 1
 # pipelined costs ~74 ns. Requires chunks == 1, epi == 1, packed argmin.
 # Decision microbench: tools/perf_commit_pipeline.py variant "ring".
 RING = False
+# Group streaming (r4, "leaf-run streaming" from the roofline memo): the
+# candidate unit becomes an id-aligned group of GS consecutive leaves.
+# ONE DMA fetches the whole group slab ([GS*rows, 4K] is contiguous in
+# the [G, GS*rows, 4K] feature layout), the per-member AABB pretests run
+# as one [GS, B] vector pass (member AABB scalars broadcast onto
+# sublanes), and the GS member commits unroll statically — so the
+# per-visit fixed costs (DMA start/wait, gate-word drains, loop
+# machinery) amortize over GS leaves. This is ENTRY_GROUP done right:
+# the expansion that made groups lose (one DMA + drain per expanded
+# member) is gone, which is what makes SMALL leaves (K=64..128, whose
+# 4K-row slab streams are 4-8x cheaper per commit) affordable. Prep runs
+# at G = L/GS width like ENTRY_GROUP. 1 = off. Uses the ring commit path
+# (carried gate words, deferred merge).
+GS = 1
 
 
 def _effective_chunks(leaf_size: int, requested: int | None = None) -> int:
@@ -174,6 +188,12 @@ def pack_leaf_features(
     feat = jnp.transpose(feat, (0, 1, 3, 2, 4))  # [L, 10, nc, 4, kc]
     feat = feat.reshape(L, 10, 4 * K)
     feat = jnp.pad(feat, ((0, 0), (0, FEAT_ROWS - 10), (0, 0)))
+    # leaf-count pad to a multiple of 8 so any group-stream factor GS | 8
+    # can reshape [L8, rows, 4K] -> [G, GS*rows, 4K] for free; padded
+    # leaves carry zero features (a == 0 -> invalid) and inverted AABBs
+    # (pack_leaf_aabbs), so they can neither pretest-pass nor commit
+    L8 = -(-L // 8) * 8
+    feat = jnp.pad(feat, ((0, L8 - L), (0, 0), (0, 0)))
     if mode not in ("c48", "c48w"):
         return feat
     s_hi = feat.astype(jnp.bfloat16)
@@ -185,7 +205,7 @@ def pack_leaf_features(
         # bytes of the [32, 4K] layout, but the double-buffered transfer
         # was never the bound
         return jnp.concatenate([s_hi, s_lo, s_hi], axis=1)
-    return jnp.concatenate([s_hi, s_lo], axis=1)  # [L, 32, 4K]
+    return jnp.concatenate([s_hi, s_lo], axis=1)  # [L8, 32, 4K]
 
 
 def pack_leaf_aabbs(fat, chunks: int | None = None) -> jnp.ndarray:
@@ -204,6 +224,17 @@ def pack_leaf_aabbs(fat, chunks: int | None = None) -> jnp.ndarray:
             [fat.leaf_lo, fat.leaf_hi,
              jnp.zeros((fat.leaf_lo.shape[0], 2), jnp.float32)], axis=1
         )  # [L, 8]
+        # pad to the feature table's 8-aligned leaf count with INVERTED
+        # boxes (lo=+big, hi=-big): padded leaves never pretest-pass
+        L = rows.shape[0]
+        L8 = -(-L // 8) * 8
+        if L8 != L:
+            inv = jnp.concatenate(
+                [jnp.full((L8 - L, 3), 3.0e38, jnp.float32),
+                 jnp.full((L8 - L, 3), -3.0e38, jnp.float32),
+                 jnp.zeros((L8 - L, 2), jnp.float32)], axis=1
+            )
+            rows = jnp.concatenate([rows, inv], axis=0)
         return rows[:, None, :]
     ca = fat.leaf_chunk_aabb  # [L, 8, 6] (lo3 | hi3)
     if nc != ca.shape[1]:
@@ -1117,6 +1148,216 @@ def _kernel_occ_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
     )
 
 
+def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
+               centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
+               csem, best_ref, slot_ref, ring_t, ring_s, mode="x3",
+               subs=1, gs=2, early_exit=False, occluded=False):
+    """Group-stream kernel (see GS): the candidate unit is a group of
+    ``gs`` id-consecutive leaves. ONE DMA brings the whole group slab
+    ([gs*rows, 4K] contiguous), the gs member commits unroll statically,
+    and the per-member gate words ride the ring kernel's carried-word
+    scheme (computed one visit ahead against the deferred-merged best).
+    Per-visit fixed costs amortize over gs leaves, which is what makes
+    small-K slabs (with their proportionally cheaper MXU streams)
+    affordable. Results are exactly the serialized kernel's: commits
+    min-merge into the visit slot (packed (t | idx) ints), the slot merges
+    one visit late, stale gates/bounds are conservative.
+
+    ``occluded=True``: any-hit semantics — a member commit zeroes the
+    ray's bound via the ring mask; the t-range cull against the one-visit
+    stale bound is exact (bounds only move t_max -> 0)."""
+    b = pl.program_id(0)
+    _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
+    n_cand = ncand_sp[b]
+    rays = rays_ref[0]
+    t_max = rays[10:11, :]
+    rays_mm = jnp.where(
+        lax.broadcasted_iota(jnp.int32, rays.shape, 0) < 10, rays, 0.0
+    )
+    if mode in ("c48", "c48w"):
+        r_hi = rays_mm.astype(jnp.bfloat16)
+        r_lo = (rays_mm - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)
+    geom = geom_ref[0]
+    B = rays.shape[1]
+    rows = buf.shape[1] // gs  # feature rows per member slab
+    k4 = buf.shape[2]
+    k = k4 // 4
+    sw = B // subs
+    c_lim = jnp.int32(8 * cand_s.shape[1] - 1)
+
+    def cand_at(c):
+        return cand_s[lax.rem(c, 8), c // 8]
+
+    def centry_at(c):
+        return centry_s[lax.rem(c, 8), c // 8]
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
+        )
+
+    def member_slab(slot, m):
+        slab = buf[slot, m * rows : (m + 1) * rows]
+        if mode == "c48":
+            slab = jnp.concatenate([slab, slab[0:FEAT_ROWS]], axis=0)
+        return slab
+
+    best_ref[...] = t_max
+    slot_ref[...] = jnp.full((1, B), -1.0, jnp.float32)
+    ring_t[...] = (
+        jnp.zeros((1, B), jnp.float32) if occluded
+        else jnp.full((1, B), jnp.inf, jnp.float32)
+    )
+    ring_s[...] = jnp.zeros((1, B), jnp.float32)
+
+    for p in range(NBUF - 1):
+        @pl.when(n_cand > p)
+        def _(p=p):
+            dma(p, p).start()
+
+    def commit(slab, leaf, lo_c):
+        """Member commit: min-merge this member's packed minima into the
+        visit slot (members of one visit share the slot, so the write is
+        a packed-int min against the slot's current content)."""
+        if occluded:
+            bound = best_ref[0:1, lo_c : lo_c + sw]  # stale-exact
+            abs_a, stn, base_valid = _mt_quants(
+                rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+            )
+            valid = base_valid & (stn < bound * abs_a)
+            blocked = jnp.any(valid, axis=0, keepdims=True)
+            ring_t[0:1, lo_c : lo_c + sw] = jnp.maximum(
+                ring_t[0:1, lo_c : lo_c + sw], blocked.astype(jnp.float32)
+            )
+            return
+        abs_a, stn, valid = _mt_quants(
+            rays_mm[:, lo_c : lo_c + sw], slab, k, mode
+        )
+        r = lax.bitcast_convert_type(
+            jnp.int32(0x7EF311C3)
+            - lax.bitcast_convert_type(abs_a, jnp.int32),
+            jnp.float32,
+        )
+        r = r * (2.0 - abs_a * r)
+        r = r * (2.0 - abs_a * r)
+        tt = jnp.where(valid, stn * r, jnp.inf)
+        mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+        bits = jax.lax.bitcast_convert_type(tt, jnp.int32)
+        iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+        packed = jnp.min((bits & mask) | iota_k, axis=0, keepdims=True)
+        tk = jax.lax.bitcast_convert_type(packed & mask, jnp.float32)
+        sk = (
+            (packed & ~mask).astype(jnp.float32)
+            + leaf.astype(jnp.float32) * jnp.float32(k)
+        )
+        cur = ring_t[0:1, lo_c : lo_c + sw]
+        closer = tk < cur
+        ring_t[0:1, lo_c : lo_c + sw] = jnp.where(closer, tk, cur)
+        ring_s[0:1, lo_c : lo_c + sw] = jnp.where(
+            closer, sk, ring_s[0:1, lo_c : lo_c + sw]
+        )
+
+    def merge():
+        if occluded:
+            best_ref[...] = jnp.where(ring_t[...] > 0.0, 0.0, best_ref[...])
+        else:
+            tk = ring_t[...]
+            closer = tk < best_ref[...]
+            best_ref[...] = jnp.where(closer, tk, best_ref[...])
+            slot_ref[...] = jnp.where(closer, ring_s[...], slot_ref[...])
+
+    # gate words for candidate 0 (cand_at(0) may be garbage when
+    # n_cand == 0 — harmless, the loop never runs)
+    words0 = tuple(
+        _pretest_word(geom, aabb_sp, cand_at(jnp.int32(0)) * gs + m,
+                      best_ref, subs)[0]
+        for m in range(gs)
+    )
+
+    def cond(state):
+        c = state[0]
+        ok = c < n_cand
+        if early_exit or occluded:
+            ok = ok & (centry_at(c) < state[1])
+        return ok
+
+    def body(state):
+        c, max_best, nex = state[0], state[1], state[2]
+        words = state[3:]
+        slot = lax.rem(c, NBUF)
+        nxt = c + 1
+        pf = c + NBUF - 1
+
+        @pl.when(pf < n_cand)
+        def _():
+            dma(lax.rem(pf, NBUF), pf).start()
+
+        @pl.when(c > 0)
+        def _():
+            merge()
+            ring_t[...] = (
+                jnp.zeros((1, B), jnp.float32) if occluded
+                else jnp.full((1, B), jnp.inf, jnp.float32)
+            )
+
+        g = cand_at(c)
+        dma(slot, c).wait()
+
+        nex_add = jnp.int32(0)
+        for m in range(gs):
+            word = words[m]
+            leaf = g * gs + m
+            slab = member_slab(slot, m)
+            for s in range(subs):
+                pl.when((word & (1 << s)) != 0)(
+                    functools.partial(commit, slab, leaf, s * sw)
+                )
+            nex_add = nex_add + _popcount_word(word, subs)
+
+        g_next = cand_at(jnp.minimum(nxt, c_lim))
+        words_n = tuple(
+            _pretest_word(geom, aabb_sp, g_next * gs + m, best_ref, subs)[0]
+            for m in range(gs)
+        )
+        new_max = (
+            jnp.max(best_ref[...])
+            if (early_exit or occluded)
+            else max_best
+        )
+        return (nxt, new_max, nex + nex_add) + words_n
+
+    state = (jnp.asarray(0, jnp.int32), jnp.max(t_max),
+             jnp.asarray(0, jnp.int32)) + words0
+    fin = lax.while_loop(cond, body, state)
+    c_final, n_exec = fin[0], fin[2]
+
+    @pl.when(c_final > 0)
+    def _():
+        merge()
+
+    for p in range(NBUF - 1):
+        @pl.when(c_final + p < n_cand)
+        def _(p=p):
+            dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
+
+    if occluded:
+        blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
+        row0, row1 = blocked.astype(jnp.float32), jnp.zeros((1, B),
+                                                            jnp.float32)
+    else:
+        row0, row1 = best_ref[...], slot_ref[...]
+    out_ref[0] = jnp.concatenate(
+        [
+            row0,
+            row1,
+            jnp.full((1, B), c_final.astype(jnp.float32)),
+            jnp.full((1, B), n_exec.astype(jnp.float32)),
+        ],
+        axis=0,
+    )
+
+
 def _resolve_subs(subs, block):
     if subs is not None:
         return subs
@@ -1139,13 +1380,14 @@ def _pack8(arr, fill):
     jax.jit,
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
-        "subs", "chunks", "epi", "early_exit", "gate_mode", "ring",
+        "subs", "chunks", "epi", "early_exit", "gate_mode", "ring", "gs",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
                 mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1,
-                epi=1, early_exit=False, gate_mode="normal", ring=False):
+                epi=1, early_exit=False, gate_mode="normal", ring=False,
+                gs=1):
     nb, c_max = cand.shape
     if block % subs != 0:
         raise ValueError(
@@ -1179,6 +1421,21 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
             "BVH with smaller leaves or raise _IDX_BITS"
         )
     ring = int(ring)
+    if gs > 1:
+        if chunks > 1 or epi > 1 or gate_mode != "normal" or not packed_argmin:
+            raise ValueError(
+                "gs (group streaming) requires the flat slab layout, "
+                "normal gating and packed argmin"
+            )
+        L8 = leaf_feat.shape[0]
+        if L8 % gs:
+            raise ValueError(
+                f"padded leaf count {L8} not divisible by gs={gs} "
+                "(pack_leaf_features pads to a multiple of 8)"
+            )
+        leaf_feat = leaf_feat.reshape(
+            L8 // gs, gs * leaf_feat.shape[1], leaf_feat.shape[2]
+        )
     if ring and (chunks > 1 or epi > 1 or gate_mode != "normal"):
         raise ValueError(
             "ring (deferred-merge commits) requires the flat slab layout "
@@ -1191,7 +1448,12 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
     cand8 = _pack8(cand, 0)
     centry8 = _pack8(centry, jnp.float32(3.0e38))
     c8 = cand8.shape[2]
-    if ring:
+    if gs > 1:
+        kernel = functools.partial(
+            _kernel_gs, mode=mode, subs=subs, gs=gs,
+            early_exit=early_exit, occluded=kernel_name != "closest",
+        )
+    elif ring:
         kernel = (
             functools.partial(
                 _kernel_ring, mode=mode, subs=subs, early_exit=early_exit,
@@ -1245,7 +1507,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                     pltpu.VMEM((1, block), jnp.float32),  # ring_t
                     pltpu.VMEM((1, block), jnp.float32),  # ring_s
                 ]
-                if ring
+                if (ring or gs > 1)
                 else []
             )
             + (
@@ -1257,7 +1519,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                         (2, leaf_feat.shape[-1], block // subs), jnp.float32
                     )
                 ]
-                if ring >= 2 and kernel_name == "closest"
+                if ring >= 2 and gs == 1 and kernel_name == "closest"
                 else []
             ),
         ),
@@ -1272,7 +1534,12 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
     )(ncand.reshape(-1), aabb, rays, geom, cand8, centry8, leaf_feat)
 
 
-def _prepare(fat, origin, direction, t_min, t_max, block, entry_group=None):
+def _prepare(fat, origin, direction, t_min, t_max, block, entry_group=None,
+             expand=True):
+    """Candidate prep. ``expand=False`` (group streaming): the candidate
+    unit stays the GROUP — the kernel DMAs whole groups and unrolls member
+    pretests/commits — so the returned order/entries/ncand are at G width
+    and leaves are NOT expanded."""
     from stratum_tpu.ops import mxu as smxu
     from stratum_tpu.ops import packet as spacket
 
@@ -1323,7 +1590,7 @@ def _prepare(fat, origin, direction, t_min, t_max, block, entry_group=None):
     sorted_entry = jnp.where(
         jnp.isfinite(sorted_entry), sorted_entry, jnp.float32(3.0e38)
     )
-    if eg > 1:
+    if eg > 1 and expand:
         # expand each sorted group to its member leaves (shared entry).
         # Tail members past L duplicate leaf L-1 — the kernel pretest
         # gates them and duplicate commits are idempotent.
@@ -1369,6 +1636,7 @@ def pallas_closest(
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, early_exit: bool | None = None,
     slot_payload=None, ring: int | bool | None = None,
+    gs: int | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
@@ -1385,9 +1653,17 @@ def pallas_closest(
         t_max = jnp.full((n,), T_MAX, jnp.float32)
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
-    rays, geom, cand, centry, ncand, n = _prepare(
-        fat, origin, direction, t_min, t_max, block, entry_group
-    )
+    g_s = GS if gs is None else gs
+    if g_s > 1:
+        # group streaming: candidates ARE groups (no member expansion);
+        # member gating/commits unroll inside the kernel
+        rays, geom, cand, centry, ncand, n = _prepare(
+            fat, origin, direction, t_min, t_max, block, g_s, expand=False
+        )
+    else:
+        rays, geom, cand, centry, ncand, n = _prepare(
+            fat, origin, direction, t_min, t_max, block, entry_group
+        )
     out = _run_blocks(
         rays, geom, cand, centry, ncand,
         pack_leaf_aabbs(fat, epi if epi > 1 else nc),
@@ -1395,7 +1671,7 @@ def pallas_closest(
         mode=MT_MODE, packed_argmin=PACKED_ARGMIN,
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
         early_exit=EARLY_EXIT if early_exit is None else early_exit,
-        ring=RING if ring is None else ring,
+        ring=RING if ring is None else ring, gs=g_s,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -1480,6 +1756,7 @@ def pallas_occluded(
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, ring: int | bool | None = None,
+    gs: int | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
@@ -1487,15 +1764,21 @@ def pallas_occluded(
     limit = t_max * np.float32(1.0 - 1e-3)
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
-    rays, geom, cand, centry, ncand, n = _prepare(
-        fat, origin, direction, t_min, limit, block, entry_group
-    )
+    g_s = GS if gs is None else gs
+    if g_s > 1:
+        rays, geom, cand, centry, ncand, n = _prepare(
+            fat, origin, direction, t_min, limit, block, g_s, expand=False
+        )
+    else:
+        rays, geom, cand, centry, ncand, n = _prepare(
+            fat, origin, direction, t_min, limit, block, entry_group
+        )
     out = _run_blocks(
         rays, geom, cand, centry, ncand,
         pack_leaf_aabbs(fat, epi if epi > 1 else nc),
         leaf_feat_packed, interpret=interpret, block=block,
         kernel_name="occluded", mode=MT_MODE,
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
-        ring=RING if ring is None else ring,
+        ring=RING if ring is None else ring, gs=g_s,
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

@@ -166,6 +166,12 @@ class RenderConfig:
                     # epilogue). Static jit key (see entry_group note on
                     # why module-global flips are unsafe under cached
                     # traces).
+    gs: int = -1  # Pallas tracer group streaming (pallas_trace.GS): the
+                  # candidate unit becomes this many id-consecutive leaves
+                  # fetched in ONE DMA with unrolled member commits — the
+                  # per-visit fixed costs amortize so small-K slabs pay
+                  # off. -1 = module default, 1 = off, 2/4/8 = group size.
+                  # Static jit key.
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -310,15 +316,16 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         eg_c = cfg.entry_group if cfg.entry_group > 0 else None
         eg_o = cfg.entry_group_shadow if cfg.entry_group_shadow > 0 else None
         rng_m = None if cfg.ring < 0 else int(cfg.ring)
+        gs_m = None if cfg.gs < 0 else int(cfg.gs)
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 block=blk, slot_payload=scene.slot_payload,
-                entry_group=eg_c, ring=rng_m,
+                entry_group=eg_c, ring=rng_m, gs=gs_m,
             ),
             lambda o, d, t: spallas.pallas_occluded(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk,
-                entry_group=eg_o, ring=rng_m,
+                entry_group=eg_o, ring=rng_m, gs=gs_m,
             ),
         )
     if tracer == "packet":
@@ -569,8 +576,21 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     n_rays = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32)
 
     # presampled light tile (reference: presample_lights, bdpt.hlsl:86-99):
-    # T iid light samples drawn once per frame; NEE lanes pick one row each
-    if cfg.use_nee and cfg.presample_lights > 0:
+    # T iid light samples drawn once per frame; NEE lanes pick one row each.
+    # AUTO-DISABLED for few-light env-free scenes (static shapes): the
+    # tile's only job is replacing CDF searches with one row fetch, but at
+    # <= 8 light rows the direct sampler resolves rows with broadcast
+    # selects (lights._light_row) at ~1/10th the per-bounce cost of the
+    # [N]-row tile gather (cornell: 23 ms/bounce measured, r4 battery 14).
+    # Kept when coherent tiles are requested — granule-shared targets are
+    # the tile's other job.
+    few_lights = (
+        scene.lights.packed.shape[0] <= 8
+        and scene.env.emission.shape[0] <= 1
+        and cfg.coherent_tiles == 0
+    )
+    presample_on = cfg.use_nee and cfg.presample_lights > 0 and not few_lights
+    if presample_on:
         t_tile = cfg.presample_lights
         # the tile is a FRAME-level table; with a per-lane seed array
         # (render_path_lanes) the batch shares the first sample's tile —
@@ -761,7 +781,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         cos_light = jnp.abs(smath.dot(direction, sp.geom_normal))
         nee_pdf_area = slights.light_pdf_area(scene, hit.tri, sp.light)
         nee_pdf_w = smath.safe_div(nee_pdf_area * dist2, cos_light)
-        if scene.spheres.num_spheres > 0 and cfg.presample_lights == 0:
+        if scene.spheres.num_spheres > 0 and not presample_on:
             # sphere-light hits MIS against the cone NEE strategy that
             # would have sampled them (point_on_light_pdf analog for the
             # solid-angle sampler, light.hlsli:154-174); presampled tiles
@@ -821,7 +841,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
         has_sphere_lights = scene.spheres.num_spheres > 0
 
-        if cfg.presample_lights > 0 and cfg.coherent_tiles > 0:
+        if presample_on and cfg.coherent_tiles > 0:
             # block-shared tile group (re-drawn per bounce): every lane in
             # a coherence granule indexes within the same `coherent_tiles`
             # consecutive rows of the direction/position-sorted tile. Each
@@ -881,7 +901,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
             """One NEE light sample from nee_pos: env / area-triangle /
             sphere-light solid-angle cone (light.hlsli:58-121); with
             presampling on, one gather from the per-frame tile instead."""
-            if cfg.presample_lights > 0:
+            if presample_on:
                 if (
                     group_base is not None
                     and cfg.coherent_tiles <= 32

@@ -320,6 +320,50 @@ def test_pallas_tracer_ring(rng_np, subs, early_exit, ring):
     np.testing.assert_array_equal(o0, orr)
 
 
+@pytest.mark.parametrize("gs,subs,leaf", [(2, 2, 128), (4, 1, 64), (8, 2, 64)])
+def test_pallas_tracer_group_stream(rng_np, gs, subs, leaf):
+    """Group streaming (gs consecutive leaves per DMA, unrolled member
+    commits, carried gate words) is EXACTLY equal to the serialized
+    kernel — padded tail leaves (inverted AABBs, zero slabs) can neither
+    pretest-pass nor commit. Leaf counts here are deliberately NOT
+    multiples of gs*8 so the 8-pad and tail groups are exercised."""
+    from stratum_tpu.ops import pallas_trace
+
+    pos, idx = _random_tris(rng_np, 1700)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=leaf)
+    feat = pallas_trace.pack_leaf_features(fat)
+    o, d = _random_rays(rng_np, 512)
+    t_max = jnp.where(
+        jnp.arange(512) % 3 == 0,
+        jnp.asarray((rng_np.random(512) * 20).astype(np.float32)),
+        jnp.float32(pallas_trace.T_MAX),
+    )
+    h0 = pallas_trace.pallas_closest(
+        fat, feat, o, d, t_max=t_max, block=256, interpret=True, subs=subs,
+        gs=1,
+    )
+    hg = pallas_trace.pallas_closest(
+        fat, feat, o, d, t_max=t_max, block=256, interpret=True, subs=subs,
+        gs=gs,
+    )
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hg.t))
+    assert np.array_equal(np.asarray(h0.tri), np.asarray(hg.tri))
+    occ_max = jnp.asarray((rng_np.random(512) * 10).astype(np.float32))
+    o0 = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, occ_max, block=256, interpret=True, subs=subs,
+            gs=1,
+        )
+    )
+    og = np.asarray(
+        pallas_trace.pallas_occluded(
+            fat, feat, o, d, occ_max, block=256, interpret=True, subs=subs,
+            gs=gs,
+        )
+    )
+    np.testing.assert_array_equal(o0, og)
+
+
 def test_pallas_tracer_ring_slot_mode(rng_np):
     """Ring kernel in slot-payload mode resolves identical hit records."""
     from stratum_tpu.ops import pallas_trace
