@@ -519,6 +519,16 @@ def flatten(root: Node, env_probability: float = 0.5,
 
     slot_payload = build_slot_payload(geo, device_mats, fat_bvh)
 
+    # per-TRI fused payload for the dense tracer paths (schema note):
+    # shading row + its material row in one gather
+    all_rows = np.asarray(packed_rows, np.float32)
+    mat_ids = np.maximum(all_rows[:, 24].astype(np.int64), 0)
+    tri_payload = jnp.asarray(
+        np.concatenate(
+            [all_rows, np.asarray(device_mats.packed)[mat_ids]], axis=1
+        )
+    )
+
     scene = schema.SceneData(
         geo=geo,
         materials=device_mats,

@@ -210,6 +210,12 @@ class SceneData(NamedTuple):
     # gathers per bounce collapse into one. ~600 B/triangle of HBM;
     # None when the scene has no fat BVH.
     slot_payload: jnp.ndarray | None = None
+    # fused per-TRI hit payload [T(+S), 56] f32 for the DENSE tracer paths
+    # (MXU / packet / brute — hits carry tri ids, not BVH slots): cols
+    # 0-31 the packed_tri shading row, 32-55 the triangle's material row.
+    # One gather replaces the integrator's shading + material gathers
+    # (the cornell attribution measured them at 16 + 10.6 ms/bounce)
+    tri_payload: jnp.ndarray | None = None
 
 
 # ---------------------------------------------------------------------------
