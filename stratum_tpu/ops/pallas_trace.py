@@ -235,7 +235,20 @@ def pack_leaf_aabbs(fat, chunks: int | None = None) -> jnp.ndarray:
                  jnp.zeros((L8 - L, 2), jnp.float32)], axis=1
             )
             rows = jnp.concatenate([rows, inv], axis=0)
-        return rows[:, None, :]
+        # LANE-MAJOR 2D layout [L16*8/128, 128]: the scalar-prefetch SMEM
+        # allocation pads the MINOR dim to 128 lanes, so the natural
+        # [L, 1, 8] table costs 16x its logical bytes (measured: a 3136-
+        # leaf K=64 build blew the 1 MiB SMEM budget at 1.6 MB). Kernels
+        # read element i = leaf*8 + q as [i // 128, i % 128].
+        if rows.shape[0] % 16:
+            pad = 16 - rows.shape[0] % 16
+            inv = jnp.concatenate(
+                [jnp.full((pad, 3), 3.0e38, jnp.float32),
+                 jnp.full((pad, 3), -3.0e38, jnp.float32),
+                 jnp.zeros((pad, 2), jnp.float32)], axis=1
+            )
+            rows = jnp.concatenate([rows, inv], axis=0)
+        return rows.reshape(-1, 128)
     ca = fat.leaf_chunk_aabb  # [L, 8, 6] (lo3 | hi3)
     if nc != ca.shape[1]:
         # coarsen build-time NUM_CHUNKS ranges into nc equal unions
@@ -283,6 +296,16 @@ def _pretest(geom, aabb_sp, leaf, row, best_row):
     return jnp.any((tn <= tf) & (tn < best_row))
 
 
+def _aabb_q(aabb_sp, leaf, q):
+    """One AABB scalar: 2D tables are the lane-major R==1 layout
+    ([.., 128], element i = leaf*8 + q at [i // 128, i % 128] — see
+    pack_leaf_aabbs); 3D tables are the chunked [L, R, 8] layout."""
+    if aabb_sp.ndim == 2:
+        i = leaf * 8 + q
+        return aabb_sp[i // 128, lax.rem(i, jnp.int32(128))]
+    return aabb_sp[leaf, 0, q]
+
+
 def _pretest_word(geom, aabb_sp, leaf, best_ref, subs):
     """All sub-blocks' pretests in ONE full-width [1, B] pass + ONE
     vector->scalar sync: bit s of the returned word = does any ray of
@@ -294,12 +317,12 @@ def _pretest_word(geom, aabb_sp, leaf, best_ref, subs):
     commit math). Also returns the want popcount for the exec counter."""
     ox, oy, oz = geom[0:1, :], geom[1:2, :], geom[2:3, :]
     ix, iy, iz = geom[3:4, :], geom[4:5, :], geom[5:6, :]
-    t0x = (aabb_sp[leaf, 0, 0] - ox) * ix
-    t1x = (aabb_sp[leaf, 0, 3] - ox) * ix
-    t0y = (aabb_sp[leaf, 0, 1] - oy) * iy
-    t1y = (aabb_sp[leaf, 0, 4] - oy) * iy
-    t0z = (aabb_sp[leaf, 0, 2] - oz) * iz
-    t1z = (aabb_sp[leaf, 0, 5] - oz) * iz
+    t0x = (_aabb_q(aabb_sp, leaf, 0) - ox) * ix
+    t1x = (_aabb_q(aabb_sp, leaf, 3) - ox) * ix
+    t0y = (_aabb_q(aabb_sp, leaf, 1) - oy) * iy
+    t1y = (_aabb_q(aabb_sp, leaf, 4) - oy) * iy
+    t0z = (_aabb_q(aabb_sp, leaf, 2) - oz) * iz
+    t1z = (_aabb_q(aabb_sp, leaf, 5) - oz) * iz
     tn = jnp.maximum(
         jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
         jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
