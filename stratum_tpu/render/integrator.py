@@ -172,6 +172,14 @@ class RenderConfig:
                   # per-visit fixed costs amortize so small-K slabs pay
                   # off. -1 = module default, 1 = off, 2/4/8 = group size.
                   # Static jit key.
+    gs_primary: int = -2  # same, for the UNSORTED primary-peel wave only
+                          # (-2 = follow ``gs``): coherent waves measured
+                          # the big group-stream wins (atrium primary
+                          # 64.7 -> 51.5 ms at K=256/gs=4) while sorted
+                          # secondary waves prefer gs=1
+    gs_shadow: int = -2   # same, for occlusion waves (the deferred NEE
+                          # wave is coherent-tiled, so groups help there
+                          # like the primary)
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -226,14 +234,19 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
     sort machinery. Identical results — the sort never changes hits."""
     closest, occluded = _trace_fns_tris(scene, cfg)
     closest_u = closest
+    gs_p_differs = cfg.gs_primary != -2 and cfg.gs_primary != cfg.gs
     if (
-        cfg.entry_group_primary != cfg.entry_group
+        (cfg.entry_group_primary != cfg.entry_group or gs_p_differs)
         and resolved_tracer(scene, cfg) == "pallas"
     ):
         # the unsorted primary peel gets its own (coarser) entry grouping
+        # and/or group-stream factor (coherent waves love groups)
         closest_u, _ = _trace_fns_tris(
             scene,
-            dataclasses.replace(cfg, entry_group=cfg.entry_group_primary),
+            dataclasses.replace(
+                cfg, entry_group=cfg.entry_group_primary,
+                gs=cfg.gs_primary if gs_p_differs else cfg.gs,
+            ),
         )
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
         from stratum_tpu.ops import raysort
@@ -317,6 +330,9 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         eg_o = cfg.entry_group_shadow if cfg.entry_group_shadow > 0 else None
         rng_m = None if cfg.ring < 0 else int(cfg.ring)
         gs_m = None if cfg.gs < 0 else int(cfg.gs)
+        gs_o = gs_m if cfg.gs_shadow == -2 else (
+            None if cfg.gs_shadow < 0 else int(cfg.gs_shadow)
+        )
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
@@ -325,7 +341,7 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
             ),
             lambda o, d, t: spallas.pallas_occluded(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk,
-                entry_group=eg_o, ring=rng_m, gs=gs_m,
+                entry_group=eg_o, ring=rng_m, gs=gs_o,
             ),
         )
     if tracer == "packet":
