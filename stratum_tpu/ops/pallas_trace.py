@@ -145,7 +145,23 @@ RING = False
 # 4K-row slab streams are 4-8x cheaper per commit) affordable. Prep runs
 # at G = L/GS width like ENTRY_GROUP. 1 = off. Uses the ring commit path
 # (carried gate words, deferred merge).
-GS = 1
+# Default 4 (r4 battery 18_gs_split_e2e, atrium bench cfg at K=256):
+# gs=4 everywhere 1158.7 ms/spp vs gs=1 1213.9 and the old K=512/gs=1
+# default 1187.4; per-wave splits (prim-only / prim+shadow) measured
+# worse than uniform. Wave-level (16_gs_waves): primary 65->55 ms at
+# K=256, 89->52 at K=128/gs=8; sorted secondary prefers gs=1 in
+# isolation but loses less than the shared prep savings e2e.
+GS = 4
+# Member-gated group DMAs: fetch each group member with its OWN DMA,
+# gated by the same one-visit-ahead pretest word that gates its commits
+# (a fresh word is a subset of the stale word it was fetched under, so a
+# gated-out member is never read). This removes the HBM traffic for
+# members no sub-block can reach — the reason gs > 1 lost on incoherent
+# (sorted-secondary) waves, where most of a group's members fail their
+# pretests but the whole [GS*rows, 4K] slab streamed anyway. Costs gs
+# DMA starts instead of 1 on fully-coherent visits. Requires NBUF == 2
+# (the gate word for candidate c+1 exists exactly when its DMA starts).
+GS_GATE = True
 
 
 def _effective_chunks(leaf_size: int, requested: int | None = None) -> int:
@@ -1174,7 +1190,8 @@ def _kernel_occ_ring(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
 def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
                centry_hbm, feat_hbm, out_ref, buf, dsem, cand_s, centry_s,
                csem, best_ref, slot_ref, ring_t, ring_s, mode="x3",
-               subs=1, gs=2, early_exit=False, occluded=False):
+               subs=1, gs=2, early_exit=False, occluded=False,
+               gated=False):
     """Group-stream kernel (see GS): the candidate unit is a group of
     ``gs`` id-consecutive leaves. ONE DMA brings the whole group slab
     ([gs*rows, 4K] contiguous), the gs member commits unroll statically,
@@ -1188,7 +1205,14 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
 
     ``occluded=True``: any-hit semantics — a member commit zeroes the
     ray's bound via the ring mask; the t-range cull against the one-visit
-    stale bound is exact (bounds only move t_max -> 0)."""
+    stale bound is exact (bounds only move t_max -> 0).
+
+    ``gated=True`` (see GS_GATE): each member gets its OWN DMA, started
+    only when its pretest word is nonzero. The word used at start time is
+    the same carried word that gates the member's commits — best_ref only
+    shrinks, so a commit-gating word is always a subset of the word its
+    DMA was started under, and a skipped member's stale buffer is never
+    read. Requires NBUF == 2 (enforced in _run_blocks)."""
     b = pl.program_id(0)
     _stage_block_meta(b, cand_hbm, centry_hbm, cand_s, centry_s, csem)
     n_cand = ncand_sp[b]
@@ -1217,7 +1241,17 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
 
     def dma(slot, c):
         return pltpu.make_async_copy(
-            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot]
+            feat_hbm.at[cand_at(c)], buf.at[slot], dsem.at[slot, 0]
+        )
+
+    def dma_m(slot, c, m):
+        # one member's [rows, 4K] slice of the group slab (contiguous in
+        # feat_hbm's [G, gs*rows, 4K] layout); its own semaphore so gated
+        # waits match gated starts member-for-member
+        return pltpu.make_async_copy(
+            feat_hbm.at[cand_at(c), pl.ds(m * rows, rows)],
+            buf.at[slot, pl.ds(m * rows, rows)],
+            dsem.at[slot, m],
         )
 
     def member_slab(slot, m):
@@ -1234,10 +1268,26 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
     )
     ring_s[...] = jnp.zeros((1, B), jnp.float32)
 
-    for p in range(NBUF - 1):
-        @pl.when(n_cand > p)
-        def _(p=p):
-            dma(p, p).start()
+    # gate words for candidate 0 (cand_at(0) may be garbage when
+    # n_cand == 0 — harmless: prefetch and loop are both guarded)
+    words0 = tuple(
+        _pretest_word(geom, aabb_sp, cand_at(jnp.int32(0)) * gs + m,
+                      best_ref, subs)[0]
+        for m in range(gs)
+    )
+
+    if gated:
+        @pl.when(n_cand > 0)
+        def _():
+            for m in range(gs):
+                pl.when(words0[m] != 0)(
+                    lambda m=m: dma_m(0, jnp.int32(0), m).start()
+                )
+    else:
+        for p in range(NBUF - 1):
+            @pl.when(n_cand > p)
+            def _(p=p):
+                dma(p, p).start()
 
     def commit(slab, leaf, lo_c):
         """Member commit: min-merge this member's packed minima into the
@@ -1290,14 +1340,6 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
             best_ref[...] = jnp.where(closer, tk, best_ref[...])
             slot_ref[...] = jnp.where(closer, ring_s[...], slot_ref[...])
 
-    # gate words for candidate 0 (cand_at(0) may be garbage when
-    # n_cand == 0 — harmless, the loop never runs)
-    words0 = tuple(
-        _pretest_word(geom, aabb_sp, cand_at(jnp.int32(0)) * gs + m,
-                      best_ref, subs)[0]
-        for m in range(gs)
-    )
-
     def cond(state):
         c = state[0]
         ok = c < n_cand
@@ -1312,9 +1354,10 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
         nxt = c + 1
         pf = c + NBUF - 1
 
-        @pl.when(pf < n_cand)
-        def _():
-            dma(lax.rem(pf, NBUF), pf).start()
+        if not gated:
+            @pl.when(pf < n_cand)
+            def _():
+                dma(lax.rem(pf, NBUF), pf).start()
 
         @pl.when(c > 0)
         def _():
@@ -1324,8 +1367,29 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
                 else jnp.full((1, B), jnp.inf, jnp.float32)
             )
 
+        # next candidate's gate words. best_ref is written ONLY by
+        # merge(), so computing these before this visit's commits is
+        # bit-identical to the end-of-body placement — and early enough
+        # to gate the member prefetch DMAs (gated path: pf == nxt).
+        g_next = cand_at(jnp.minimum(nxt, c_lim))
+        words_n = tuple(
+            _pretest_word(geom, aabb_sp, g_next * gs + m, best_ref, subs)[0]
+            for m in range(gs)
+        )
+        if gated:
+            for m in range(gs):
+                @pl.when((pf < n_cand) & (words_n[m] != 0))
+                def _(m=m):
+                    dma_m(lax.rem(pf, NBUF), pf, m).start()
+
         g = cand_at(c)
-        dma(slot, c).wait()
+        if gated:
+            for m in range(gs):
+                pl.when(words[m] != 0)(
+                    lambda m=m: dma_m(slot, c, m).wait()
+                )
+        else:
+            dma(slot, c).wait()
 
         nex_add = jnp.int32(0)
         for m in range(gs):
@@ -1338,11 +1402,6 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
                 )
             nex_add = nex_add + _popcount_word(word, subs)
 
-        g_next = cand_at(jnp.minimum(nxt, c_lim))
-        words_n = tuple(
-            _pretest_word(geom, aabb_sp, g_next * gs + m, best_ref, subs)[0]
-            for m in range(gs)
-        )
         new_max = (
             jnp.max(best_ref[...])
             if (early_exit or occluded)
@@ -1354,6 +1413,7 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
              jnp.asarray(0, jnp.int32)) + words0
     fin = lax.while_loop(cond, body, state)
     c_final, n_exec = fin[0], fin[2]
+    words_fin = fin[3:]
 
     @pl.when(c_final > 0)
     def _():
@@ -1362,7 +1422,17 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
     for p in range(NBUF - 1):
         @pl.when(c_final + p < n_cand)
         def _(p=p):
-            dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
+            if gated:
+                # NBUF == 2: the only possibly-pending DMA is candidate
+                # c_final's members, started under exactly words_fin
+                for m in range(gs):
+                    pl.when(words_fin[m] != 0)(
+                        lambda m=m: dma_m(
+                            lax.rem(c_final + p, NBUF), c_final + p, m
+                        ).wait()
+                    )
+            else:
+                dma(lax.rem(c_final + p, NBUF), c_final + p).wait()
 
     if occluded:
         blocked = (best_ref[...] <= 0.0) & (t_max > 0.0)
@@ -1404,13 +1474,14 @@ def _pack8(arr, fill):
     static_argnames=(
         "interpret", "block", "kernel_name", "mode", "packed_argmin",
         "subs", "chunks", "epi", "early_exit", "gate_mode", "ring", "gs",
+        "gs_gate",
     ),
 )
 def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                 interpret=False, block=BLOCK, kernel_name="closest",
                 mode="x3", packed_argmin=PACKED_ARGMIN, subs=1, chunks=1,
                 epi=1, early_exit=False, gate_mode="normal", ring=False,
-                gs=1):
+                gs=1, gs_gate=False):
     nb, c_max = cand.shape
     if block % subs != 0:
         raise ValueError(
@@ -1475,6 +1546,7 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
         kernel = functools.partial(
             _kernel_gs, mode=mode, subs=subs, gs=gs,
             early_exit=early_exit, occluded=kernel_name != "closest",
+            gated=bool(gs_gate) and NBUF == 2,
         )
     elif ring:
         kernel = (
@@ -1518,7 +1590,9 @@ def _run_blocks(rays, geom, cand, centry, ncand, aabb, leaf_feat,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((NBUF,) + leaf_feat.shape[1:], leaf_feat.dtype),
-                pltpu.SemaphoreType.DMA((NBUF,)),
+                # gs > 1: one DMA semaphore per (slot, member) so gated
+                # member copies wait on their own starts
+                pltpu.SemaphoreType.DMA((NBUF, gs) if gs > 1 else (NBUF,)),
                 pltpu.SMEM((8, c8), jnp.int32),
                 pltpu.SMEM((8, c8), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1659,7 +1733,7 @@ def pallas_closest(
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, early_exit: bool | None = None,
     slot_payload=None, ring: int | bool | None = None,
-    gs: int | None = None,
+    gs: int | None = None, gs_gate: bool | None = None,
 ) -> HitRecord:
     """Closest hit via the Pallas kernel. ``leaf_feat_packed`` =
     pack_leaf_features(fat) (precomputed once per scene; its chunk layout
@@ -1677,6 +1751,8 @@ def pallas_closest(
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
     g_s = GS if gs is None else gs
+    if gs is None and (nc > 1 or epi > 1 or not PACKED_ARGMIN):
+        g_s = 1  # chunked/epi ablation modes keep the flat-slab layout off
     if g_s > 1:
         # group streaming: candidates ARE groups (no member expansion);
         # member gating/commits unroll inside the kernel
@@ -1695,6 +1771,7 @@ def pallas_closest(
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
         early_exit=EARLY_EXIT if early_exit is None else early_exit,
         ring=RING if ring is None else ring, gs=g_s,
+        gs_gate=GS_GATE if gs_gate is None else gs_gate,
     )  # [nb, 4, block]
     best = out[:, 0, :].reshape(-1)[:n]
     slot = out[:, 1, :].reshape(-1)[:n].astype(jnp.int32)
@@ -1779,7 +1856,7 @@ def pallas_occluded(
     block: int = BLOCK, interpret: bool = False, subs: int | None = None,
     chunks: int | None = None, epi_chunks: int | None = None,
     entry_group: int | None = None, ring: int | bool | None = None,
-    gs: int | None = None,
+    gs: int | None = None, gs_gate: bool | None = None,
 ):
     """Any-hit through the dedicated early-exit kernel: a commit zeroes the
     ray's t bound so fully-blocked blocks stop visiting leaves immediately
@@ -1788,6 +1865,8 @@ def pallas_occluded(
     nc = _effective_chunks(fat.leaf_tri.shape[1], chunks)
     epi = _resolve_epi(fat.leaf_tri.shape[1], nc, epi_chunks)
     g_s = GS if gs is None else gs
+    if gs is None and (nc > 1 or epi > 1 or not PACKED_ARGMIN):
+        g_s = 1  # chunked/epi ablation modes keep the flat-slab layout off
     if g_s > 1:
         rays, geom, cand, centry, ncand, n = _prepare(
             fat, origin, direction, t_min, limit, block, g_s, expand=False
@@ -1803,5 +1882,6 @@ def pallas_occluded(
         kernel_name="occluded", mode=MT_MODE,
         subs=_resolve_subs(subs, block), chunks=nc, epi=epi,
         ring=RING if ring is None else ring, gs=g_s,
+        gs_gate=GS_GATE if gs_gate is None else gs_gate,
     )
     return out[:, 0, :].reshape(-1)[:n] > 0.5

@@ -180,6 +180,11 @@ class RenderConfig:
     gs_shadow: int = -2   # same, for occlusion waves (the deferred NEE
                           # wave is coherent-tiled, so groups help there
                           # like the primary)
+    gs_gate: int = -1  # member-gated group DMAs (pallas_trace.GS_GATE):
+                       # fetch each group member under its own pretest-
+                       # word-gated DMA so unreachable members cost no
+                       # HBM traffic. -1 = module default, 0 = off,
+                       # 1 = on. Static jit key.
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -333,15 +338,16 @@ def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
         gs_o = gs_m if cfg.gs_shadow == -2 else (
             None if cfg.gs_shadow < 0 else int(cfg.gs_shadow)
         )
+        gs_g = None if cfg.gs_gate < 0 else bool(cfg.gs_gate)
         return (
             lambda o, d, tm=None: spallas.pallas_closest(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 block=blk, slot_payload=scene.slot_payload,
-                entry_group=eg_c, ring=rng_m, gs=gs_m,
+                entry_group=eg_c, ring=rng_m, gs=gs_m, gs_gate=gs_g,
             ),
             lambda o, d, t: spallas.pallas_occluded(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t, block=blk,
-                entry_group=eg_o, ring=rng_m, gs=gs_o,
+                entry_group=eg_o, ring=rng_m, gs=gs_o, gs_gate=gs_g,
             ),
         )
     if tracer == "packet":

@@ -500,16 +500,17 @@ def flatten(root: Node, env_probability: float = 0.5,
         geo.positions, geo.indices, geo.tri_material >= 0
     )
     # prefer the native SAH builder (tighter leaves); fall back to Morton.
-    # leaf_size 512 measured best END-TO-END once the trace-local sort tax
-    # was cut and bounce 0 peeled (tools/perf_ksweep, atrium block=2048:
-    # e2e 2100/1829/1810/1883 ms/spp at K=128/256/512/1024; isolated
-    # closest 95/69/67/73 ms, closest+shadow 178/123/113/117). The old
-    # K=1024 choice was carried by the per-wave candidate-entries cost,
-    # which no longer dominates.
-    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=512)
+    # leaf_size 256 + group streaming GS=4 measured best END-TO-END in the
+    # r4 battery (18_gs_split_e2e, atrium bench cfg: 1158.7 ms/spp vs
+    # 1213.9 at gs=1 and 1187.4 at the old K=512/gs=1 default): the group
+    # DMA amortizes per-visit fixed costs so the tighter K=256 slabs
+    # finally pay off. Per-wave gs splits measured WORSE than uniform gs=4
+    # (prim=4/sec=1/shadow=4: 1203.0). History: K=512 was best at gs=1
+    # (tools/perf_ksweep: e2e 2100/1829/1810/1883 at K=128/256/512/1024).
+    fat_bvh = build_fat_bvh_sah(pos_p, idx_p, mat_p >= 0, leaf_size=256)
     if fat_bvh is None:
         fat_bvh = build_fat_bvh(
-            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=512
+            geo.positions, geo.indices, geo.tri_material >= 0, leaf_size=256
         )
     from stratum_tpu.render.medium import build_media
     from stratum_tpu.ops.pallas_trace import pack_leaf_features

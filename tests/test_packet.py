@@ -320,13 +320,18 @@ def test_pallas_tracer_ring(rng_np, subs, early_exit, ring):
     np.testing.assert_array_equal(o0, orr)
 
 
-@pytest.mark.parametrize("gs,subs,leaf", [(2, 2, 128), (4, 1, 64), (8, 2, 64)])
-def test_pallas_tracer_group_stream(rng_np, gs, subs, leaf):
+@pytest.mark.parametrize("gs,subs,leaf,gate", [
+    (2, 2, 128, False), (4, 1, 64, False), (8, 2, 64, False),
+    (2, 2, 128, True), (4, 1, 64, True), (8, 2, 64, True),
+])
+def test_pallas_tracer_group_stream(rng_np, gs, subs, leaf, gate):
     """Group streaming (gs consecutive leaves per DMA, unrolled member
     commits, carried gate words) is EXACTLY equal to the serialized
     kernel — padded tail leaves (inverted AABBs, zero slabs) can neither
     pretest-pass nor commit. Leaf counts here are deliberately NOT
-    multiples of gs*8 so the 8-pad and tail groups are exercised."""
+    multiples of gs*8 so the 8-pad and tail groups are exercised.
+    gate=True additionally gates each member's DMA on its pretest word
+    (GS_GATE): a skipped member's stale buffer must never be read."""
     from stratum_tpu.ops import pallas_trace
 
     pos, idx = _random_tris(rng_np, 1700)
@@ -344,7 +349,7 @@ def test_pallas_tracer_group_stream(rng_np, gs, subs, leaf):
     )
     hg = pallas_trace.pallas_closest(
         fat, feat, o, d, t_max=t_max, block=256, interpret=True, subs=subs,
-        gs=gs,
+        gs=gs, gs_gate=gate,
     )
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(hg.t))
     assert np.array_equal(np.asarray(h0.tri), np.asarray(hg.tri))
@@ -358,7 +363,7 @@ def test_pallas_tracer_group_stream(rng_np, gs, subs, leaf):
     og = np.asarray(
         pallas_trace.pallas_occluded(
             fat, feat, o, d, occ_max, block=256, interpret=True, subs=subs,
-            gs=gs,
+            gs=gs, gs_gate=gate,
         )
     )
     np.testing.assert_array_equal(o0, og)

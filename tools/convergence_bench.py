@@ -66,14 +66,22 @@ def main():
     CKPT_DIR.mkdir(exist_ok=True)
     results = {}
 
-    def accumulate(tag, frame_fn, n_spp):
-        """Resumable mean of n_spp frames; frame_fn(seed) -> [H,W,3]."""
+    def accumulate(tag, frame_fn, n_spp, shape):
+        """Resumable mean of n_spp frames; frame_fn(seed) -> [H,W,3].
+
+        `shape` guards resume: a checkpoint written by a different-size
+        run (e.g. a size=48 CPU smoke) is discarded, not summed into.
+        """
         ck = CKPT_DIR / f"{tag}.npz"
         done, acc = 0, None
         if ck.exists():
             z = np.load(ck)
             done, acc = int(z["done"]), z["acc"]
-            if done >= n_spp:
+            if tuple(acc.shape) != tuple(shape):
+                print(f"# {tag}: discarding stale checkpoint "
+                      f"{acc.shape} != {shape}", flush=True)
+                done, acc = 0, None
+            elif done >= n_spp:
                 return acc / done
         t0 = time.time()
         for s in range(done, n_spp):
@@ -107,7 +115,7 @@ def main():
         def bd(seed):
             return sbdpt.render_bdpt(scene, view, cfg, seed)
 
-        img_pt = accumulate("cornell_pt", pt, spp)
+        img_pt = accumulate("cornell_pt", pt, spp, (H, W, 3))
         # RMSE-vs-spp curve: INDEPENDENT seed stream (offset 1e6) so the
         # curve points share no samples with the reference image — a
         # shared prefix would underestimate error as n -> spp
@@ -116,11 +124,12 @@ def main():
             if n * 4 > spp:
                 break
             part = accumulate(
-                f"cornell_pt_{n}", lambda s: pt(s + 1_000_000), n
+                f"cornell_pt_{n}", lambda s: pt(s + 1_000_000), n,
+                (H, W, 3),
             )
             curve.append((n, rmse(part, img_pt)))
-        img_lt = accumulate("cornell_lt", lt, spp)
-        img_bd = accumulate("cornell_bdpt", bd, spp)
+        img_lt = accumulate("cornell_lt", lt, spp, (H, W, 3))
+        img_bd = accumulate("cornell_bdpt", bd, spp, (H, W, 3))
         results["cornell"] = {
             "spp": spp,
             "pt_mean": float(img_pt.mean()),
@@ -160,8 +169,8 @@ def main():
             )
             return direct
 
-        img_ptd = accumulate("cornell_pt_direct", ptd, spp)
-        img_ris = accumulate("cornell_ris", ris, spp)
+        img_ptd = accumulate("cornell_pt_direct", ptd, spp, (H, W, 3))
+        img_ris = accumulate("cornell_ris", ris, spp, (H, W, 3))
         results["cornell_direct"] = {
             "spp": spp,
             "rmse_ptdirect_ris": rmse(img_ptd, img_ris),
@@ -196,8 +205,8 @@ def main():
         def bd2(seed):
             return sbdpt.render_bdpt_chunked(scene, view, cfgb, seed)
 
-        img_pt2 = accumulate("colonnade_pt", pt2, spp)
-        img_bd2 = accumulate("colonnade_bdpt", bd2, spp)
+        img_pt2 = accumulate("colonnade_pt", pt2, spp, (H2, W2, 3))
+        img_bd2 = accumulate("colonnade_bdpt", bd2, spp, (H2, W2, 3))
         results["colonnade"] = {
             "spp": spp,
             "rmse_pt_bdpt": rmse(img_pt2, img_bd2),

@@ -7,7 +7,12 @@ small-K slabs (whose MXU streams are proportionally cheaper) become
 affordable. Baselines: gs=1 at the same K, and the K=512 default.
 
 python tools/perf_gs.py [--ks=64,128,256] [--gss=2,4,8] [--block=2048]
-    [--e2e] [--spp=3]
+    [--e2e] [--spp=3] [--gates=0,1]
+
+--gates sweeps GS_GATE (member-gated group DMAs): gate=1 fetches each
+group member under its own pretest-word-gated DMA, so members no
+sub-block can reach cost no HBM traffic (the reason gs > 1 lost on
+sorted-secondary waves). gate is skipped at gs=1 (no groups to gate).
 """
 
 from __future__ import annotations
@@ -54,6 +59,7 @@ def main():
     run_e2e = opts.has("e2e")
     ks = [int(k) for k in opts.get_str("ks", "64,128,256").split(",")]
     gss = [int(g) for g in opts.get_str("gss", "1,4,8").split(",")]
+    gates = [int(g) for g in opts.get_str("gates", "1").split(",")]
     g = builtin.atrium()
     scene0, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
@@ -83,18 +89,24 @@ def main():
         so = hp - direction * 1e-3
         t_occ = jnp.full((n,), 50.0, jnp.float32)
 
-        for gs in [1] + [g_ for g_ in gss if g_ > 1]:
+        combos = [(1, 0)] + [
+            (g_, gate) for g_ in gss if g_ > 1 for gate in gates
+        ]
+        for gs, gate in combos:
+            tag = f"gs={gs}" + (f" gate={gate}" if gs > 1 else "")
+
             @jax.jit
-            def closest(o, d, gs=gs):
+            def closest(o, d, gs=gs, gate=gate):
                 h = spallas.pallas_closest(
-                    fat, feat, o, d, block=block, gs=gs
+                    fat, feat, o, d, block=block, gs=gs, gs_gate=bool(gate)
                 )
                 return h.t.sum(), h.tri.sum()
 
             @jax.jit
-            def occl(o, d, t, gs=gs):
+            def occl(o, d, t, gs=gs, gate=gate):
                 return spallas.pallas_occluded(
-                    fat, feat, o, d, t, block=block, gs=gs
+                    fat, feat, o, d, t, block=block, gs=gs,
+                    gs_gate=bool(gate)
                 ).sum()
 
             for name, (o_, d_) in (
@@ -109,7 +121,7 @@ def main():
                 fetch(s)
                 dt = (time.time() - t0) / 3
                 print(
-                    f"  gs={gs} {name:9s}: {dt*1e3:8.1f} ms "
+                    f"  {tag} {name:9s}: {dt*1e3:8.1f} ms "
                     f"{n/dt/1e6:7.2f} Mrays/s (tri {fetch(tri):.0f})",
                     flush=True,
                 )
@@ -120,7 +132,7 @@ def main():
             fetch(s)
             dt = (time.time() - t0) / 3
             print(
-                f"  gs={gs} occluded : {dt*1e3:8.1f} ms "
+                f"  {tag} occluded : {dt*1e3:8.1f} ms "
                 f"{n/dt/1e6:7.2f} Mrays/s (sum {fetch(s):.0f})",
                 flush=True,
             )
@@ -130,7 +142,7 @@ def main():
             cfg = integrator.RenderConfig(
                 width=width, height=height, max_bounces=4, bsdf="disney",
                 presample_lights=4096, coherent_tiles=16, tracer="pallas",
-                gs=gs,
+                gs=gs, gs_gate=gate if gs > 1 else -1,
             )
             rpc = integrator.render_path_with_counts
             img, n_rays = rpc(scene, view, cfg, 0)
@@ -142,7 +154,7 @@ def main():
                 tot += int(fetch(n_rays))
             dt = (time.time() - t0) / spp
             print(
-                f"  gs={gs} e2e b4   : {dt*1e3:8.1f} ms/spp "
+                f"  {tag} e2e b4   : {dt*1e3:8.1f} ms/spp "
                 f"{tot/spp/dt/1e6:7.2f} Mrays/s "
                 f"(img mean {float(np.asarray(img).mean()):.4f})",
                 flush=True,
