@@ -156,12 +156,16 @@ GS = 4
 # gated by the same one-visit-ahead pretest word that gates its commits
 # (a fresh word is a subset of the stale word it was fetched under, so a
 # gated-out member is never read). This removes the HBM traffic for
-# members no sub-block can reach — the reason gs > 1 lost on incoherent
-# (sorted-secondary) waves, where most of a group's members fail their
-# pretests but the whole [GS*rows, 4K] slab streamed anyway. Costs gs
-# DMA starts instead of 1 on fully-coherent visits. Requires NBUF == 2
-# (the gate word for candidate c+1 exists exactly when its DMA starts).
-GS_GATE = True
+# members no sub-block can reach — the hypothesis for why gs > 1 lost on
+# incoherent (sorted-secondary) waves. MEASURED NEGATIVE on-chip
+# (r4 session 4, tools/perf_gs.py): gate=1 loses on EVERY wave class
+# (K=256/gs=4 primary 50.6 -> 64.0 ms in one run, occluded 157 -> 176,
+# secondary 242.6 -> 246.5) and e2e (1196.1 vs 1188.7 ms/spp interleaved)
+# — gs DMA starts + per-member predicated waits cost more than the
+# skipped member traffic saves (the double-buffered group DMA was never
+# the bound; incoherent waves lose in the matmul charge, not the DMA).
+# Kept as an ablation knob (gs_gate=).
+GS_GATE = False
 
 
 def _effective_chunks(leaf_size: int, requested: int | None = None) -> int:
