@@ -48,6 +48,14 @@ class RenderConfig:
     max_bounces: int = 4  # surface bounces after the camera hit
     use_nee: bool = True
     use_mis: bool = True
+    unroll_bounces: int = 1  # lax.scan unroll factor for the bounce loop:
+                             # each scan ITERATION BOUNDARY materializes
+                             # the full wavefront carry (~20 [N] arrays)
+                             # plus the stacked shadow-batch ys — unrolling
+                             # lets XLA fuse bounce b's epilogue into
+                             # b+1's prologue. Results are bit-identical
+                             # (same body, same order). Costs compile time
+                             # roughly linearly in the factor.
     rr_depth: int = 2  # bounce index where Russian roulette starts
     rr_min_beta: float = 0.05
     bsdf: str = "lambert"  # "lambert" | "disney"
@@ -1369,6 +1377,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     carry, shadow_ys = lax.scan(
         bounce, carry, None,
         length=cfg.max_bounces + (0 if peel else 1),
+        unroll=max(1, cfg.unroll_bounces),
     )
     if peel and cfg.use_nee and cfg.defer_shadows:
         shadow_ys = jax.tree.map(

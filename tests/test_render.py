@@ -132,6 +132,27 @@ def test_wavefront_sorting_bit_identical(cornell):
     np.testing.assert_array_equal(a, b)
 
 
+def test_unrolled_bounce_scan_bit_identical(cornell):
+    """cfg.unroll_bounces only changes lax.scan's unroll factor — the
+    bounce body and iteration order are untouched, so images must match
+    bit for bit."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    imgs = [
+        np.asarray(
+            integrator.render_path(
+                scene, view,
+                integrator.RenderConfig(
+                    32, 32, max_bounces=3, unroll_bounces=ur
+                ), 5,
+            )
+        )
+        for ur in (1, 2, 4)
+    ]
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
 def test_deferred_shadows_match_inline(cornell):
     """The deferred one-wave shadow pass (reference: eDeferShadowRays +
     trace_shadows, bdpt.hlsl:304-326) computes the same image as inline

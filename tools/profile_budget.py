@@ -66,7 +66,11 @@ def main():
         ("no NEE", dict(use_nee=False, use_mis=False)),
         ("NEE inline (no defer)", dict(defer_shadows=False)),
         ("NEE inline coherent", dict(defer_shadows=False, coherent_tiles=16)),
-        ("null tracer (overhead)", dict(tracer="null")),
+        # null variants keep coherent_tiles=16 so they subtract cleanly
+        # from the bench row: without it the null row pays the INCOHERENT
+        # tile gather the bench never runs (measured +207 ms/spp, r4 s4 —
+        # the old rows attributed that to "NEE overhead")
+        ("null tracer (overhead)", dict(tracer="null", coherent_tiles=16)),
         ("null tracer no NEE", dict(tracer="null", use_nee=False,
                                     use_mis=False)),
     ]
