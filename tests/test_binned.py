@@ -1,0 +1,121 @@
+"""Binned pair-stream tracer (ops/binned.py) vs the brute-force oracle and
+the block kernel (interpret mode on CPU; compiled path is exercised on TPU
+by tools/perf_binned.py and bench runs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stratum_tpu.ops import binned, intersect, packet, pallas_trace
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(11)
+
+
+def _random_tris(rng, n, spread=1.0):
+    base = (rng.random((n, 3)) * 2 - 1).astype(np.float32) * spread
+    e1 = (rng.random((n, 3)) - 0.5).astype(np.float32) * 0.4
+    e2 = (rng.random((n, 3)) - 0.5).astype(np.float32) * 0.4
+    pos = np.concatenate([base, base + e1, base + e2], axis=0)
+    idx = np.stack(
+        [np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n], axis=1
+    ).astype(np.int32)
+    return jnp.asarray(pos), jnp.asarray(idx)
+
+
+def _random_rays(rng, n):
+    o = (rng.random((n, 3)) * 2 - 1).astype(np.float32) * 2.0
+    d = (rng.random((n, 3)) - 0.5).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("g", [8, 16])
+def test_binned_matches_brute(rng_np, g):
+    pos, idx = _random_tris(rng_np, 400)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 512)
+    hb = binned.pallas_closest_binned(
+        fat, feat, o, d, g=g, pcap=24, mcap=1 << 14, interpret=True
+    )
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    agree = (np.asarray(hb.tri) == np.asarray(hr.tri)).mean()
+    assert agree > 0.995, agree
+    both = (np.asarray(hb.tri) >= 0) & (np.asarray(hr.tri) >= 0)
+    tb, tr = np.asarray(hb.t)[both], np.asarray(hr.t)[both]
+    assert np.allclose(tb, tr, rtol=2e-3, atol=1e-4)
+
+
+def test_binned_slot_mode_matches_block_kernel(rng_np):
+    """Slot-mode output (t, slot) agrees with the block kernel's slot mode
+    after finalize (same fused payload path the integrator uses)."""
+    pos, idx = _random_tris(rng_np, 300)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 512)
+    hb = binned.pallas_closest_binned(
+        fat, feat, o, d, g=8, pcap=24, mcap=1 << 14, interpret=True,
+        slot_payload=True,
+    )
+    hp = pallas_trace.pallas_closest(
+        fat, feat, o, d, block=256, interpret=True
+    )
+    hit_b = np.asarray(hb.slot) >= 0
+    hit_p = np.asarray(hp.tri) >= 0
+    assert (hit_b == hit_p).mean() > 0.995
+    both = hit_b & hit_p
+    # same winning slot -> same triangle
+    tri_b = np.asarray(fat.leaf_tri).reshape(-1)[
+        np.maximum(np.asarray(hb.slot), 0)
+    ]
+    agree = (tri_b[both] == np.asarray(hp.tri)[both]).mean()
+    assert agree > 0.99, agree
+
+
+def test_binned_t_max_and_dead_lanes(rng_np):
+    """Per-ray t bounds gate hits; zero-bound (dead) lanes emit nothing."""
+    pos, idx = _random_tris(rng_np, 200)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 256)
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    t_ref = np.asarray(hr.t)
+    # bound half the rays BELOW their hit t -> they must miss
+    tm = np.full(256, intersect.T_MAX, np.float32)
+    cut = (np.asarray(hr.tri) >= 0) & (np.arange(256) % 2 == 0)
+    tm[cut] = t_ref[cut] * 0.5
+    tm[1::4] = 0.0  # dead lanes
+    hb = binned.pallas_closest_binned(
+        fat, feat, o, d, t_max=jnp.asarray(tm), g=8, pcap=24,
+        mcap=1 << 13, interpret=True,
+    )
+    tri_b = np.asarray(hb.tri)
+    assert (tri_b[cut] == -1).all()
+    assert (tri_b[1::4] == -1).all()
+    free = (~cut) & (np.arange(256) % 4 != 1)
+    agree = (tri_b[free] == np.asarray(hr.tri)[free]).mean()
+    assert agree > 0.99, agree
+
+
+def test_binned_stats_count_overflow(rng_np):
+    """with_stats reports pair counts and capacity overflow (tiny caps
+    must report drops rather than fail silently)."""
+    pos, idx = _random_tris(rng_np, 300)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=16)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 256)
+    _, stats = binned.pallas_closest_binned(
+        fat, feat, o, d, g=8, pcap=24, mcap=1 << 13, interpret=True,
+        with_stats=True,
+    )
+    pairs_roomy = int(stats["pairs"])
+    assert pairs_roomy > 0
+    assert int(stats["dropped_mcap"]) == 0
+    _, tight = binned.pallas_closest_binned(
+        fat, feat, o, d, g=8, pcap=2, mcap=1 << 13, interpret=True,
+        with_stats=True,
+    )
+    assert int(tight["dropped_pcap"]) > 0
