@@ -116,7 +116,7 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
 @functools.partial(
     jax.jit, static_argnames=("g", "pcap", "mcap", "interpret")
 )
-def _binned_trace(o, d, tb, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
+def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
                   interpret=False):
     """Core pipeline on a PADDED wave (N divisible by g * _SLICE buckets).
 
@@ -149,7 +149,10 @@ def _binned_trace(o, d, tb, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
             t1 = (hi_c[None] - os_[:, None]) * inv[:, None]
             tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
             tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-            p = (tn <= tf) & (tn < tbs[:, None])  # [S, 64]
+            # tf >= t_min matches the block kernel's entry pass
+            # (packet._block_entries); the intersection epsilon itself is
+            # _mt_classify's 1e-4 relative bound, same as the block kernel
+            p = (tn <= tf) & (tf >= tmn) & (tn < tbs[:, None])  # [S, 64]
             pg = p.reshape(ngs, g, 64).any(axis=1)  # [ngs, 64]
             cum = jnp.cumsum(pg.astype(jnp.int32), axis=1)
             dest = count[:, None] + cum - 1  # slot index where passing
@@ -287,10 +290,24 @@ def pallas_closest_binned(
     ``pcap`` = max leaves per group; ``mcap`` = pair capacity per wave
     (default n // 2). Overflow beyond either capacity drops pairs —
     measure with ``with_stats`` / tools/perf_binned.py and size with
-    headroom. ``leaf_feat_packed`` must be the c48 [L8, 32, 4K] layout
-    (pack_leaf_features MT_MODE="c48")."""
+    headroom. ``t_min`` gates pair emission (tf >= t_min, same as the
+    block kernel's entry pass); the intersection epsilon is
+    _mt_classify's 1e-4 relative bound. ``leaf_feat_packed`` must be the
+    flat (chunks=1) c48 [L8, 32, 4K] layout (pack_leaf_features
+    MT_MODE="c48")."""
     if leaf_feat_packed.dtype != jnp.bfloat16:
         raise ValueError("binned tracer requires the c48 bf16 slab layout")
+    from stratum_tpu.ops.pallas_trace import _effective_chunks
+
+    if _effective_chunks(fat.leaf_tri.shape[1]) != 1:
+        # a chunk-major (chunks>1) c48 slab has the same shape/dtype but
+        # permuted columns — the kernel's flat [a|u|v|t] slices would read
+        # the wrong quantities and commit silently wrong hits
+        raise ValueError(
+            "binned tracer requires the FLAT (chunks=1) c48 slab layout; "
+            "the module is configured for chunk-major slabs "
+            "(pallas_trace.CHUNKS > 1)"
+        )
     if 128 % g != 0:
         raise ValueError(f"g ({g}) must divide 128")
     k = fat.leaf_tri.shape[1]
@@ -310,8 +327,9 @@ def pallas_closest_binned(
     d = jnp.pad(direction, ((0, npad - n), (0, 0)), constant_values=1.0)
     tb = jnp.pad(t_max, (0, npad - n))  # pad t bound 0 -> no pairs
     packedmin, leaf_w, stats = _binned_trace(
-        o, d, tb, fat.leaf_lo, fat.leaf_hi, leaf_feat_packed,
-        g=g, pcap=pcap, mcap=int(mcap), interpret=interpret,
+        o, d, tb, jnp.float32(t_min), fat.leaf_lo, fat.leaf_hi,
+        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap),
+        interpret=interpret,
     )
     mask = jnp.int32(~((1 << _IDX_BITS) - 1))
     pm = packedmin.reshape(-1)[:n]
@@ -352,3 +370,51 @@ def pallas_closest_binned(
     return HitRecord(
         t=jnp.where(tri >= 0, best_t, T_MAX), tri=tri, bary=bary
     )
+
+
+def pallas_occluded_binned(
+    fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
+    g: int = 8, pcap: int = 16, mcap: int | None = None,
+    interpret: bool = False, with_stats: bool = False,
+):
+    """Any-hit via the binned pipeline: same pair emission (a dead lane's
+    t bound 0 emits no pairs) and bin kernel; a ray is blocked when the
+    resolved closest t lands inside (t_min, t_max * (1 - 1e-3)) — the same
+    limit shrink as pallas_occluded. No per-visit early exit exists to
+    lose here: the pipeline is one pass by construction, and occlusion
+    waves skip the closest path's winner resolve entirely.
+
+    Reference: shadow-ray RayQuery first-commit semantics
+    (src/Shaders/common/intersection.hlsli:192-239)."""
+    if leaf_feat_packed.dtype != jnp.bfloat16:
+        raise ValueError("binned tracer requires the c48 bf16 slab layout")
+    from stratum_tpu.ops.pallas_trace import _effective_chunks
+
+    if _effective_chunks(fat.leaf_tri.shape[1]) != 1:
+        raise ValueError(
+            "binned tracer requires the FLAT (chunks=1) c48 slab layout"
+        )
+    if 128 % g != 0:
+        raise ValueError(f"g ({g}) must divide 128")
+    n = origin.shape[0]
+    limit = t_max * np.float32(1.0 - 1e-3)
+    if mcap is None:
+        mcap = max(n // 2, 1 << 14)
+    s = min(_SLICE, -(-n // g) * g)
+    npad = -(-n // s) * s
+    o = jnp.pad(origin, ((0, npad - n), (0, 0)))
+    d = jnp.pad(direction, ((0, npad - n), (0, 0)), constant_values=1.0)
+    tb = jnp.pad(limit, (0, npad - n))  # pad bound 0 -> no pairs
+    packedmin, _leaf_w, stats = _binned_trace(
+        o, d, tb, jnp.float32(t_min), fat.leaf_lo, fat.leaf_hi,
+        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap),
+        interpret=interpret,
+    )
+    mask = jnp.int32(~((1 << _IDX_BITS) - 1))
+    t = lax.bitcast_convert_type(
+        packedmin.reshape(-1)[:n] & mask, jnp.float32
+    )
+    blocked = t < limit
+    if with_stats:
+        return blocked, stats
+    return blocked

@@ -193,6 +193,25 @@ class RenderConfig:
                        # word-gated DMA so unreachable members cost no
                        # HBM traffic. -1 = module default, 0 = off,
                        # 1 = on. Static jit key.
+    presample_force: bool = False  # keep the presample tile even for
+                                   # few-light env-free scenes (A/B knob
+                                   # for the r4 few-lights auto-disable;
+                                   # see tools/bisect_r4_regressions.py)
+    binned_secondary: int = 0  # >0: trace SORTED closest waves (bounce
+                               # 1+) through the binned pair-stream tracer
+                               # (ops/binned.py) with this many rays per
+                               # pair group; the coherent primary peel and
+                               # occlusion waves stay on the block kernel.
+                               # Requires sort_rays (the sort is what
+                               # makes g-neighbor rays want the same
+                               # leaves). 0 = off. Static jit key.
+    binned_shadow: int = 0  # >0: occlusion waves through the binned
+                            # pipeline at this group size (coherent-tile
+                            # NEE clusters shadow targets, so caller-order
+                            # groups are already coherent). 0 = off.
+    binned_pcap: int = 16  # binned tracer: max leaves per pair group
+                           # (overflow drops pairs -> misses; size with
+                           # headroom from tools/perf_binned.py stats)
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -261,12 +280,40 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
                 gs=cfg.gs_primary if gs_p_differs else cfg.gs,
             ),
         )
+    if (
+        cfg.binned_shadow > 0
+        and resolved_tracer(scene, cfg) == "pallas"
+    ):
+        from stratum_tpu.ops import binned as sbinned
+
+        def occluded(o, d, t, _occ_block=occluded):  # noqa: F811
+            return sbinned.pallas_occluded_binned(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, t,
+                g=cfg.binned_shadow, pcap=cfg.binned_pcap,
+            )
+
+    closest_in = closest
+    if (
+        cfg.binned_secondary > 0
+        and resolved_tracer(scene, cfg) == "pallas"
+    ):
+        # sorted closest waves ride the binned pair-stream tracer; the
+        # raysort wrapper below supplies the coherence it needs
+        from stratum_tpu.ops import binned as sbinned
+
+        def closest_in(o, d, tm=None):  # noqa: F811
+            return sbinned.pallas_closest_binned(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
+                g=cfg.binned_secondary, pcap=cfg.binned_pcap,
+                slot_payload=scene.slot_payload,
+            )
+
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
         from stratum_tpu.ops import raysort
 
         lo = jnp.min(scene.geo.positions, axis=0)
         hi = jnp.max(scene.geo.positions, axis=0)
-        closest, _ = raysort.sorted_trace_fns(closest, occluded, lo, hi)
+        closest, _ = raysort.sorted_trace_fns(closest_in, occluded, lo, hi)
     if (
         scene.slot_payload is not None
         and resolved_tracer(scene, cfg) == "pallas"
@@ -618,6 +665,7 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         scene.lights.packed.shape[0] <= 8
         and scene.env.emission.shape[0] <= 1
         and cfg.coherent_tiles == 0
+        and not cfg.presample_force
     )
     presample_on = cfg.use_nee and cfg.presample_lights > 0 and not few_lights
     if presample_on:

@@ -119,3 +119,113 @@ def test_binned_stats_count_overflow(rng_np):
         with_stats=True,
     )
     assert int(tight["dropped_pcap"]) > 0
+
+
+def test_binned_occluded_matches_brute(rng_np):
+    """pallas_occluded_binned vs the brute-force oracle (segment tests:
+    real NEE-style bounded rays, plus dead lanes)."""
+    pos, idx = _random_tris(rng_np, 300)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 256)
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    t_ref = np.asarray(hr.t)
+    tm = np.full(256, 2.5, np.float32)
+    tm[1::5] = 0.0  # dead lanes must stay unblocked
+    occ_b = np.asarray(
+        binned.pallas_occluded_binned(
+            fat, feat, o, d, jnp.asarray(tm), g=8, pcap=24,
+            mcap=1 << 13, interpret=True,
+        )
+    )
+    occ_ref = (t_ref < tm * (1.0 - 1e-3)) & (np.asarray(hr.tri) >= 0)
+    assert (occ_b[1::5] == False).all()  # noqa: E712
+    agree = (occ_b == occ_ref).mean()
+    assert agree > 0.99, agree
+
+
+def test_binned_t_min_gates_emission(rng_np):
+    """A t_min beyond every leaf's exit must kill all pairs (the ADVICE r4
+    fix: t_min used to be silently ignored)."""
+    pos, idx = _random_tris(rng_np, 200)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 128)
+    h_far = binned.pallas_closest_binned(
+        fat, feat, o, d, t_min=1e6, g=8, pcap=16, mcap=1 << 13,
+        interpret=True,
+    )
+    assert (np.asarray(h_far.tri) == -1).all()
+
+
+def test_binned_rejects_chunked_slab(rng_np, monkeypatch):
+    """The chunk-major ablation layout must be rejected, not silently
+    mis-sliced (ADVICE r4)."""
+    pos, idx = _random_tris(rng_np, 200)
+    # leaf_size 128 admits chunks=4 (4*(128/4) is lane-tile aligned);
+    # smaller leaves fall back to the flat layout and nothing is rejected
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=128)
+    monkeypatch.setattr(pallas_trace, "CHUNKS", 4)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 128)
+    with pytest.raises(ValueError, match="FLAT"):
+        binned.pallas_closest_binned(fat, feat, o, d, interpret=True)
+
+
+def test_integrator_routes_binned(monkeypatch):
+    """cfg.binned_secondary / binned_shadow route sorted closest and
+    occlusion waves to the binned tracer (wiring check; the pallas block
+    kernel itself is TPU-only so the binned calls are stubbed)."""
+    import jax.numpy as jnp
+
+    from stratum_tpu.ops import binned as sbinned
+    from stratum_tpu.ops import pallas_trace as spallas
+    from stratum_tpu.render import integrator
+    from stratum_tpu.scene import builtin, flatten
+
+    g = builtin.cornell_box()
+    scene, _ = flatten.flatten(g.root)
+    calls = {"closest": 0, "occluded": 0}
+
+    def fake_closest(fat, feat, o, d, t_max=None, **kw):
+        calls["closest"] += 1
+        n = o.shape[0]
+        return intersect.HitRecord(
+            t=jnp.full((n,), intersect.T_MAX), tri=jnp.full((n,), -1),
+            bary=jnp.zeros((n, 2)),
+            slot=jnp.full((n,), -1, jnp.int32)
+            if kw.get("slot_payload") is not None else None,
+        )
+
+    def fake_occluded(fat, feat, o, d, t, **kw):
+        calls["occluded"] += 1
+        return jnp.zeros(o.shape[:1], bool)
+
+    def fake_block(fat, feat, o, d, t_max=None, **kw):
+        n = o.shape[0]
+        return intersect.HitRecord(
+            t=jnp.full((n,), intersect.T_MAX), tri=jnp.full((n,), -1),
+            bary=jnp.zeros((n, 2)),
+            slot=jnp.full((n,), -1, jnp.int32)
+            if kw.get("slot_payload") is not None else None,
+        )
+
+    monkeypatch.setattr(sbinned, "pallas_closest_binned", fake_closest)
+    monkeypatch.setattr(sbinned, "pallas_occluded_binned", fake_occluded)
+    monkeypatch.setattr(spallas, "pallas_closest", fake_block)
+    monkeypatch.setattr(
+        spallas, "pallas_occluded",
+        lambda *a, **k: jnp.zeros(a[2].shape[:1], bool),
+    )
+    cfg = integrator.RenderConfig(
+        tracer="pallas", binned_secondary=8, binned_shadow=8, sort_rays=True,
+    )
+    closest, closest_u, occluded = integrator._trace_fns3(scene, cfg)
+    o = jnp.zeros((256, 3))
+    d = jnp.ones((256, 3))
+    closest(o, d)  # sorted closest -> binned
+    assert calls["closest"] == 1
+    occluded(o, d, jnp.ones((256,)))  # occlusion -> binned
+    assert calls["occluded"] == 1
+    closest_u(o, d)  # primary peel stays on the block kernel
+    assert calls["closest"] == 1

@@ -109,6 +109,9 @@ def main():
             ("primary ", origin, direction,
              jnp.full((n,), T_MAX, jnp.float32)),
             ("secsort ", os_, ds_, ts_),
+            # unsorted secondary (camera order): the reference wave for
+            # how much of the binned win is the trace-local sort
+            ("secraw  ", o1, d1, jnp.where(alive, T_MAX, 0.0)),
         )
 
         @jax.jit
