@@ -134,21 +134,37 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     bw = 128 // g  # pairs (groups) per bin
 
     # ---- 1+2. per-group pass bits -> [NG, pcap] leaf slots ----
+    # xyz axes SCALARIZED so every intermediate is [S, 64] with leaves on
+    # the lane dim: a [S, 64, 3] layout puts 3 on the minor (lane) dim and
+    # tile-pads it toward 128 — the same trap packet._block_entries
+    # documents as measured 4x (and this pass runs (L64/64) x (N/S) times)
     def emit_slice(args):
         os_, ds_, tbs = args  # [S, 3], [S, 3], [S]
         ngs = os_.shape[0] // g
         inv = jnp.where(
             jnp.abs(ds_) > 1e-20, 1.0 / ds_, jnp.sign(ds_) * 1e20 + 1e20
         )
+        ox, oy, oz = os_[:, 0:1], os_[:, 1:2], os_[:, 2:3]  # [S, 1]
+        ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
 
         def leaf_chunk(carry, ci):
             count, slots = carry  # [ngs], [ngs, pcap]
             lo_c = lax.dynamic_slice(lo_p, (ci, 0), (64, 3))
             hi_c = lax.dynamic_slice(hi_p, (ci, 0), (64, 3))
-            t0 = (lo_c[None] - os_[:, None]) * inv[:, None]  # [S, 64, 3]
-            t1 = (hi_c[None] - os_[:, None]) * inv[:, None]
-            tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
-            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            t0x = (lo_c[None, :, 0] - ox) * ix  # [S, 64]
+            t1x = (hi_c[None, :, 0] - ox) * ix
+            t0y = (lo_c[None, :, 1] - oy) * iy
+            t1y = (hi_c[None, :, 1] - oy) * iy
+            t0z = (lo_c[None, :, 2] - oz) * iz
+            t1z = (hi_c[None, :, 2] - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
             # tf >= t_min matches the block kernel's entry pass
             # (packet._block_entries); the intersection epsilon itself is
             # _mt_classify's 1e-4 relative bound, same as the block kernel
