@@ -193,10 +193,6 @@ class RenderConfig:
                        # word-gated DMA so unreachable members cost no
                        # HBM traffic. -1 = module default, 0 = off,
                        # 1 = on. Static jit key.
-    presample_force: bool = False  # keep the presample tile even for
-                                   # few-light env-free scenes (A/B knob
-                                   # for the r4 few-lights auto-disable;
-                                   # see tools/bisect_r4_regressions.py)
     binned_secondary: int = 0  # >0: trace SORTED closest waves (bounce
                                # 1+) through the binned pair-stream tracer
                                # (ops/binned.py) with this many rays per
@@ -654,20 +650,16 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
 
     # presampled light tile (reference: presample_lights, bdpt.hlsl:86-99):
     # T iid light samples drawn once per frame; NEE lanes pick one row each.
-    # AUTO-DISABLED for few-light env-free scenes (static shapes): the
-    # tile's only job is replacing CDF searches with one row fetch, but at
-    # <= 8 light rows the direct sampler resolves rows with broadcast
-    # selects (lights._light_row) at ~1/10th the per-bounce cost of the
-    # [N]-row tile gather (cornell: 23 ms/bounce measured, r4 battery 14).
-    # Kept when coherent tiles are requested — granule-shared targets are
-    # the tile's other job.
-    few_lights = (
-        scene.lights.packed.shape[0] <= 8
-        and scene.env.emission.shape[0] <= 1
-        and cfg.coherent_tiles == 0
-        and not cfg.presample_force
-    )
-    presample_on = cfg.use_nee and cfg.presample_lights > 0 and not few_lights
+    # r4 auto-disabled the tile for few-light env-free scenes to save its
+    # 23 ms/bounce gather — MEASURED -20% E2E on cornell (r5 bisect,
+    # tools/bisect_r4_regressions.py: forced-on 1003-1008 ms/spp vs
+    # auto-off 1292; the whole BENCH_r04 cornell regression): the tile
+    # also replaces per-lane CDF searches + sample construction, which
+    # cost far more than the gather it saves. The auto-disable is REMOVED;
+    # cfg.presample_lights is honored as given (the few-light _light_row
+    # select helper in render/lights.py stays — it wins wherever rows are
+    # fetched outside the tile, e.g. light_pdf_area on emissive hits).
+    presample_on = cfg.use_nee and cfg.presample_lights > 0
     if presample_on:
         t_tile = cfg.presample_lights
         # the tile is a FRAME-level table; with a per-lane seed array

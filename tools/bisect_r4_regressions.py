@@ -84,11 +84,18 @@ def main():
         scene2_off = scene2._replace(tri_payload=None)
         import dataclasses
 
+        # VERDICT r5 bisect RESULT (on-chip, 2 interleaved rounds, 3 spp):
+        #   r4 few-lights presample auto-off: 1292-1293 ms/spp (5.01 Mr/s)
+        #   tri_payload=OFF (same auto-off):  1291-1292 (5.01) -> payload
+        #     is NOT the regression
+        #   presample FORCED back on:         1003-1008 (6.42-6.46) -> the
+        #     whole cornell -20% was the auto-disable; now reverted in
+        #     integrator.py (presample_lights honored as given)
         arms += [
-            ("cornell r4 (few-auto-off) ", scene2, view2, cfg2),
-            ("cornell tri_payload=OFF   ", scene2_off, view2, cfg2),
-            ("cornell presample FORCED  ", scene2, view2,
-             dataclasses.replace(cfg2, presample_force=True)),
+            ("cornell (presample on)  ", scene2, view2, cfg2),
+            ("cornell tri_payload=OFF ", scene2_off, view2, cfg2),
+            ("cornell presample OFF   ", scene2, view2,
+             dataclasses.replace(cfg2, presample_lights=0)),
         ]
 
     if "colonnade" not in skip:
