@@ -361,6 +361,54 @@ def _pretest_word(geom, aabb_sp, leaf, best_ref, subs):
     return jnp.sum(anyb * weights), jnp.sum(anyb)
 
 
+def _pretest_words_multi(geom, aabb_sp, base, gs, best_ref, subs):
+    """Gate words for ``gs`` id-consecutive leaves (base .. base+gs-1) in
+    ONE [gs, B] vector pass. The per-member serial version costs gs
+    separate ~20-op passes on [1, B] shapes that use ONE sublane of 8 —
+    the [gs, B] slab test runs the same ops at full sublane occupancy and
+    amortizes instruction issue, leaving only the cheap per-member word
+    extraction (a [subs, sw] reshape + sum each). Member AABB scalars are
+    read from the SMEM table and assembled into [gs, 1] bound vectors with
+    iota selects. Returns (tuple of gs scalar words, total want count)."""
+    b = geom.shape[1]
+    m_iota = lax.broadcasted_iota(jnp.int32, (gs, 1), 0)
+    bounds = []
+    for q in range(6):
+        v = jnp.full((gs, 1), 0.0, jnp.float32)
+        for m in range(gs):
+            v = jnp.where(m_iota == m, _aabb_q(aabb_sp, base + m, q), v)
+        bounds.append(v)
+    lox, loy, loz, hix, hiy, hiz = bounds
+    ox, oy, oz = geom[0:1, :], geom[1:2, :], geom[2:3, :]
+    ix, iy, iz = geom[3:4, :], geom[4:5, :], geom[5:6, :]
+    t0x = (lox - ox) * ix  # [gs, B]
+    t1x = (hix - ox) * ix
+    t0y = (loy - oy) * iy
+    t1y = (hiy - oy) * iy
+    t0z = (loz - oz) * iz
+    t1z = (hiz - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    hit = ((tn <= tf) & (tn < best_ref[0:1, :])).astype(jnp.int32)
+    weights = jnp.left_shift(
+        jnp.int32(1), lax.broadcasted_iota(jnp.int32, (subs, 1), 0)
+    )
+    words = []
+    total = jnp.int32(0)
+    for m in range(gs):
+        h2 = hit[m : m + 1, :].reshape(subs, b // subs)
+        anyb = jnp.minimum(jnp.sum(h2, axis=1, keepdims=True), 1)
+        words.append(jnp.sum(anyb * weights))
+        total = total + jnp.sum(anyb)
+    return tuple(words), total
+
+
 def _mt_matmul(rays, slab, mode="x3"):
     """The MXU contraction alone: [C, 4K] slab x [C, B] rays -> [4K, B]
     products. See MT_MODE. For "c48" both operands arrive pre-banded in
@@ -1274,10 +1322,8 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
 
     # gate words for candidate 0 (cand_at(0) may be garbage when
     # n_cand == 0 — harmless: prefetch and loop are both guarded)
-    words0 = tuple(
-        _pretest_word(geom, aabb_sp, cand_at(jnp.int32(0)) * gs + m,
-                      best_ref, subs)[0]
-        for m in range(gs)
+    words0, _ = _pretest_words_multi(
+        geom, aabb_sp, cand_at(jnp.int32(0)) * gs, gs, best_ref, subs
     )
 
     if gated:
@@ -1371,14 +1417,15 @@ def _kernel_gs(ncand_sp, aabb_sp, rays_ref, geom_ref, cand_hbm,
                 else jnp.full((1, B), jnp.inf, jnp.float32)
             )
 
-        # next candidate's gate words. best_ref is written ONLY by
+        # next candidate's gate words (ONE [gs, B] pass for all members —
+        # see _pretest_words_multi; the serial per-member version was the
+        # dominant small-K machinery cost). best_ref is written ONLY by
         # merge(), so computing these before this visit's commits is
         # bit-identical to the end-of-body placement — and early enough
         # to gate the member prefetch DMAs (gated path: pf == nxt).
         g_next = cand_at(jnp.minimum(nxt, c_lim))
-        words_n = tuple(
-            _pretest_word(geom, aabb_sp, g_next * gs + m, best_ref, subs)[0]
-            for m in range(gs)
+        words_n, _ = _pretest_words_multi(
+            geom, aabb_sp, g_next * gs, gs, best_ref, subs
         )
         if gated:
             for m in range(gs):
