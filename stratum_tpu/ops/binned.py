@@ -77,7 +77,7 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
 
     @pl.when(bl < 0)
     def _miss():
-        out_ref[...] = jnp.full(out_ref.shape, _MISS, jnp.int32)
+        out_ref[0] = jnp.full(out_ref.shape[1:], _MISS, jnp.int32)
 
     @pl.when(bl >= 0)
     def _hit():
@@ -110,7 +110,7 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
         bits = lax.bitcast_convert_type(tt, jnp.int32)
         iota_k = lax.broadcasted_iota(jnp.int32, tt.shape, 0)
         packed = jnp.min((bits & mask) | iota_k, axis=0, keepdims=True)
-        out_ref[...] = packed  # [1, 128] int32
+        out_ref[0] = packed  # [1, 128] int32
 
 
 @functools.partial(
@@ -264,10 +264,14 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec((1, 128), lambda i, bl: (i, 0),
+            # 3D out: a (1, 128) block on a [nbins, 128] array violates the
+            # Mosaic block rule (last two dims divisible by (8, 128) or
+            # equal to the array dims); [nbins, 1, 128] with (1, 1, 128)
+            # blocks satisfies it exactly
+            out_specs=pl.BlockSpec((1, 1, 128), lambda i, bl: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((nbins, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nbins, 1, 128), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
