@@ -114,10 +114,10 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("g", "pcap", "mcap", "interpret")
+    jax.jit, static_argnames=("g", "pcap", "mcap", "interpret", "stage")
 )
 def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
-                  interpret=False):
+                  interpret=False, stage=None):
     """Core pipeline on a PADDED wave (N divisible by g * _SLICE buckets).
 
     Returns (packedmin [NG, g] int32, leaf_w [NG, g] int32, stats)."""
@@ -202,6 +202,22 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     count = count.reshape(ng)  # RAW count (uncapped; > pcap = overflow)
     slots = slots.reshape(ng, pcap)
 
+    def _cut(*deps):
+        """Stage-cut return for tools/profile_binned_stages: a tiny
+        reduction depending on everything computed so far, so XLA DCEs
+        the rest of the pipeline and wall-clock deltas attribute stages."""
+        z = jnp.zeros((ng, g), jnp.int32)
+        acc = jnp.int32(0)
+        for x in deps:
+            acc = acc + jnp.sum(x.astype(jnp.int32) & 1)
+        return z + acc, z, {
+            "pairs": acc, "dropped_pcap": acc, "dropped_mcap": acc,
+            "bins_used": acc,
+        }
+
+    if stage == "emit":
+        return _cut(count, slots)
+
     # ---- 3. sort pairs by leaf (pair id rides the sort) ----
     piota = lax.broadcasted_iota(jnp.int32, (ng, pcap), 1)
     key = jnp.where(
@@ -214,6 +230,8 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     skey = skey[:mcap]
     spid = spid[:mcap]
     valid = skey != _UMAX
+    if stage == "sort":
+        return _cut(skey, spid)
 
     # ---- 4. pad each leaf run to a bin multiple (cumsum renumber) ----
     mpad = (mcap + bw * (L + 2) + bw - 1) // bw * bw
@@ -236,18 +254,29 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
 
     nbins = mpad // bw
     bin_leaf = pleaf[::bw]  # all pairs of a bin share the leaf
+    if stage == "pad":
+        return _cut(pleaf, ppid)
 
     # ---- 5. gather ray feature rows into bin order ----
     from stratum_tpu.ops import mxu as smxu
 
     rf = smxu.ray_features(o, d)  # [N, 10] f32
     rf = jnp.pad(rf, ((0, 0), (0, 6)))
-    banded = jnp.transpose(rf.reshape(ng, g, 16), (0, 2, 1))  # [NG, 16, g]
+    # banded rows FLATTENED to [NG, 16*g]: a [NG, 16, g] table puts g on
+    # the minor (lane) dim and tile-pads it toward 128 — the r5 stage
+    # profile measured that gather at +95 ms/wave (16x physical bytes);
+    # the flat layout gathers clean full-lane rows and leaves one fused
+    # (reshape, transpose, reshape) relayout into bin-lane order
+    banded = jnp.transpose(rf.reshape(ng, g, 16), (0, 2, 1)).reshape(
+        ng, 16 * g
+    )
     grp = jnp.minimum(ppid // pcap, ng - 1)
-    gath = banded[grp]  # [MPAD, 16, g] — ONE row gather
+    gath = banded[grp]  # [MPAD, 16*g] — ONE clean row gather
     bin_rays = jnp.transpose(
         gath.reshape(nbins, bw, 16, g), (0, 2, 1, 3)
     ).reshape(nbins, 16, 128)
+    if stage == "gather":
+        return _cut(bin_rays, bin_leaf)
 
     # ---- 6. the kernel ----
     binout = pl.pallas_call(
@@ -277,17 +306,29 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(bin_leaf, bin_rays, leaf_feat)
+    if stage == "kernel":
+        return _cut(binout)
 
     # ---- 7. scatter results back + min over pair slots ----
-    rows = binout.reshape(nbins, bw, g).reshape(mpad, g)
-    res = jnp.full((ng * pcap + 1, g), _MISS, jnp.int32).at[ppid].set(
-        rows, mode="drop"
-    )[: ng * pcap].reshape(ng, pcap, g)
-    packedmin = jnp.min(res, axis=1)  # [NG, g]
-    wp = jnp.argmin(res, axis=1)  # [NG, g] winning pair slot
-    leaf_w = jnp.full((ng, g), -1, jnp.int32)
+    # TRANSPOSED resolve: rays-in-group on SUBLANES, pairs on LANES. The
+    # row-major version scattered [mpad, g] rows into a [ng*pcap+1, g]
+    # table — minor dim g tile-pads toward 128 (16x physical bytes at
+    # g=8; the r5 stage profile measured the resolve at +101 ms/wave).
+    # [g, mpad] / [g, ng*pcap+1] keep every table full-lane.
+    rows_t = jnp.transpose(
+        binout.reshape(nbins, bw, g), (2, 0, 1)
+    ).reshape(g, mpad)
+    res_t = jnp.full((g, ng * pcap + 1), _MISS, jnp.int32).at[
+        :, ppid
+    ].set(rows_t, mode="drop")[:, : ng * pcap]
+    res3 = res_t.reshape(g, ng, pcap)
+    packedmin_t = jnp.min(res3, axis=2)  # [g, NG]
+    wp = jnp.argmin(res3, axis=2)  # [g, NG] winning pair slot
+    leaf_w_t = jnp.full((g, ng), -1, jnp.int32)
     for pp in range(pcap):
-        leaf_w = jnp.where(wp == pp, slots[:, pp : pp + 1], leaf_w)
+        leaf_w_t = jnp.where(wp == pp, slots[:, pp][None, :], leaf_w_t)
+    packedmin = packedmin_t.T  # [NG, g]
+    leaf_w = leaf_w_t.T
     stats = {
         "pairs": jnp.sum(jnp.minimum(count, pcap)),
         "dropped_pcap": jnp.sum(jnp.maximum(count - pcap, 0)),
