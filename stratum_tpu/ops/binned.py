@@ -66,12 +66,16 @@ _SLICE = 32768
 
 
 def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
-    """One 128-lane bin: C=48 banded MT matmul + packed argmin.
+    """One grid step = ``sb`` 128-lane bins OF ONE LEAF: C=48 banded MT
+    matmul + packed argmin over [sb*128] lanes at once.
 
     No pretest, no best-t carry, no DMA machinery — the grid/BlockSpec
     pipeline stages both operands, and a bin is 100% committed work by
-    construction. bleaf < 0 marks an all-sentinel bin (capacity padding):
-    skip the math, emit misses."""
+    construction. sb > 1 (superbins) amortizes the per-grid-step pipeline
+    fixed cost (measured ~1.1 us/step vs the ~0.3 us matmul at sb=1) over
+    sb bins; leaf runs are padded to sb*bw pairs so a step never spans a
+    leaf. bleaf < 0 marks an all-sentinel step (capacity padding): skip
+    the math, emit misses."""
     i = pl.program_id(0)
     bl = bleaf_sp[i]
 
@@ -81,10 +85,10 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
 
     @pl.when(bl >= 0)
     def _hit():
-        r = rays_ref[0]  # [16, 128] f32 (rows 10-15 zero)
+        r = rays_ref[0]  # [16, sb*128] f32 (rows 10-15 zero)
         r_hi = r.astype(jnp.bfloat16)
         r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)  # [48, 128]
+        rays_mm = jnp.concatenate([r_hi, r_hi, r_lo], axis=0)  # [48, sbW]
         s = feat_ref[0]  # [32, 4K] bf16 (s_hi | s_lo)
         slab = jnp.concatenate([s, s[0:16]], axis=0)  # [48, 4K]
         out = lax.dot_general(
@@ -114,10 +118,11 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("g", "pcap", "mcap", "interpret", "stage")
+    jax.jit,
+    static_argnames=("g", "pcap", "mcap", "interpret", "stage", "sb"),
 )
 def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
-                  interpret=False, stage=None):
+                  interpret=False, stage=None, sb=1):
     """Core pipeline on a PADDED wave (N divisible by g * _SLICE buckets).
 
     Returns (packedmin [NG, g] int32, leaf_w [NG, g] int32, stats)."""
@@ -233,8 +238,13 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     if stage == "sort":
         return _cut(skey, spid)
 
-    # ---- 4. pad each leaf run to a bin multiple (cumsum renumber) ----
-    mpad = (mcap + bw * (L + 2) + bw - 1) // bw * bw
+    # ---- 4. pad each leaf run to a STEP multiple (cumsum renumber) ----
+    # step = sb bins = pw pairs of ONE leaf (superbins amortize the
+    # kernel's per-grid-step fixed cost; padding waste grows from bw to
+    # pw per leaf run — ~sb*g extra slab rows per leaf, a few % on waves
+    # whose runs are hundreds of pairs long)
+    pw = sb * bw  # pairs per grid step
+    mpad = (mcap + pw * (L + 2) + pw - 1) // pw * pw
     idx = jnp.arange(mcap, dtype=jnp.int32)
     b = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
@@ -242,7 +252,7 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     start = lax.cummax(jnp.where(b, idx, -1))
     sstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), start[:-1]])
     prevlen = idx - sstart
-    padb = jnp.where(b & (idx > 0), (bw - lax.rem(prevlen, bw)) % bw, 0)
+    padb = jnp.where(b & (idx > 0), (pw - lax.rem(prevlen, pw)) % pw, 0)
     dst = idx + jnp.cumsum(padb)
     dst = jnp.where(valid & (dst < mpad), dst, mpad)  # drop mode
     pleaf = jnp.full((mpad,), -1, jnp.int32).at[dst].set(
@@ -252,8 +262,9 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
         spid, mode="drop"
     )
 
+    nsteps = mpad // pw
     nbins = mpad // bw
-    bin_leaf = pleaf[::bw]  # all pairs of a bin share the leaf
+    bin_leaf = pleaf[::pw]  # all pairs of a step share the leaf
     if stage == "pad":
         return _cut(pleaf, ppid)
 
@@ -273,8 +284,8 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     grp = jnp.minimum(ppid // pcap, ng - 1)
     gath = banded[grp]  # [MPAD, 16*g] — ONE clean row gather
     bin_rays = jnp.transpose(
-        gath.reshape(nbins, bw, 16, g), (0, 2, 1, 3)
-    ).reshape(nbins, 16, 128)
+        gath.reshape(nsteps, pw, 16, g), (0, 2, 1, 3)
+    ).reshape(nsteps, 16, sb * 128)
     if stage == "gather":
         return _cut(bin_rays, bin_leaf)
 
@@ -283,9 +294,9 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
         _bin_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nbins,),
+            grid=(nsteps,),
             in_specs=[
-                pl.BlockSpec((1, 16, 128), lambda i, bl: (i, 0, 0),
+                pl.BlockSpec((1, 16, sb * 128), lambda i, bl: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (1,) + leaf_feat.shape[1:],
@@ -293,14 +304,16 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            # 3D out: a (1, 128) block on a [nbins, 128] array violates the
+            # 3D out: a (1, W) block on a [nsteps, W] array violates the
             # Mosaic block rule (last two dims divisible by (8, 128) or
-            # equal to the array dims); [nbins, 1, 128] with (1, 1, 128)
+            # equal to the array dims); [nsteps, 1, W] with (1, 1, W)
             # blocks satisfies it exactly
-            out_specs=pl.BlockSpec((1, 1, 128), lambda i, bl: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (1, 1, sb * 128), lambda i, bl: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((nbins, 1, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nsteps, 1, sb * 128), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -342,7 +355,7 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
 
 def pallas_closest_binned(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
-    g: int = 8, pcap: int = 16, mcap: int | None = None,
+    g: int = 8, pcap: int = 16, mcap: int | None = None, sb: int = 1,
     interpret: bool = False, slot_payload=None, with_stats: bool = False,
 ) -> HitRecord:
     """Closest hit via the binned pair-stream kernel (drop-in for
@@ -389,7 +402,7 @@ def pallas_closest_binned(
     tb = jnp.pad(t_max, (0, npad - n))  # pad t bound 0 -> no pairs
     packedmin, leaf_w, stats = _binned_trace(
         o, d, tb, jnp.float32(t_min), fat.leaf_lo, fat.leaf_hi,
-        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap),
+        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap), sb=sb,
         interpret=interpret,
     )
     mask = jnp.int32(~((1 << _IDX_BITS) - 1))
@@ -435,7 +448,7 @@ def pallas_closest_binned(
 
 def pallas_occluded_binned(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
-    g: int = 8, pcap: int = 16, mcap: int | None = None,
+    g: int = 8, pcap: int = 16, mcap: int | None = None, sb: int = 1,
     interpret: bool = False, with_stats: bool = False,
 ):
     """Any-hit via the binned pipeline: same pair emission (a dead lane's
@@ -468,7 +481,7 @@ def pallas_occluded_binned(
     tb = jnp.pad(limit, (0, npad - n))  # pad bound 0 -> no pairs
     packedmin, _leaf_w, stats = _binned_trace(
         o, d, tb, jnp.float32(t_min), fat.leaf_lo, fat.leaf_hi,
-        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap),
+        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap), sb=sb,
         interpret=interpret,
     )
     mask = jnp.int32(~((1 << _IDX_BITS) - 1))

@@ -229,3 +229,19 @@ def test_integrator_routes_binned(monkeypatch):
     assert calls["occluded"] == 1
     closest_u(o, d)  # primary peel stays on the block kernel
     assert calls["closest"] == 1
+
+
+@pytest.mark.parametrize("sb", [2, 4])
+def test_binned_superbins_match_brute(rng_np, sb):
+    """sb > 1 (superbins: sb bins of one leaf per grid step) must be
+    result-identical to sb=1 — only the padding granularity changes."""
+    pos, idx = _random_tris(rng_np, 400)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 512)
+    hb = binned.pallas_closest_binned(
+        fat, feat, o, d, g=8, pcap=24, mcap=1 << 14, sb=sb, interpret=True
+    )
+    hr = intersect.intersect_brute_force(o, d, pos, idx)
+    agree = (np.asarray(hb.tri) == np.asarray(hr.tri)).mean()
+    assert agree > 0.995, agree

@@ -7,7 +7,7 @@ agreement vs the block kernel, and the binned capacity stats (pairs,
 pcap/mcap drops, bin occupancy) that size the production defaults.
 
 python tools/perf_binned.py [--ks=128,256] [--gs=8,16] [--pcap=16]
-    [--mcapdiv=2] [--block=2048] [--cpu]
+    [--mcapdiv=2] [--sb=1] [--block=2048] [--cpu]
 """
 
 from __future__ import annotations
@@ -60,6 +60,7 @@ def main():
     gs = [int(g) for g in opts.get_str("gs", "8,16").split(",")]
     pcap = opts.get_int("pcap", 16)
     mcapdiv = opts.get_int("mcapdiv", 2)
+    sb = opts.get_int("sb", 1)
     g = builtin.atrium()
     scene0, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
@@ -142,7 +143,8 @@ def main():
             @jax.jit
             def binned_closest(o, d, tm, gg=gg, mcap=mcap):
                 h = sbinned.pallas_closest_binned(
-                    fat, feat, o, d, t_max=tm, g=gg, pcap=pcap, mcap=mcap
+                    fat, feat, o, d, t_max=tm, g=gg, pcap=pcap, mcap=mcap,
+                    sb=sb,
                 )
                 return h.t, h.tri
 
@@ -150,7 +152,7 @@ def main():
             def binned_stats(o, d, tm, gg=gg, mcap=mcap):
                 _, st = sbinned.pallas_closest_binned(
                     fat, feat, o, d, t_max=tm, g=gg, pcap=pcap, mcap=mcap,
-                    with_stats=True,
+                    sb=sb, with_stats=True,
                 )
                 return st
 
@@ -173,10 +175,11 @@ def main():
                 st = jax.tree.map(
                     lambda x: int(np.asarray(x)), binned_stats(o_, d_, tm_)
                 )
-                bw = 128 // gg
+                bw = sb * (128 // gg)  # pairs per grid STEP
                 occ = st["pairs"] / max(st["bins_used"] * bw, 1)
                 print(
-                    f"  binned g={gg:2d} p={pcap} {name}: {dt*1e3:8.1f} ms "
+                    f"  binned g={gg:2d} p={pcap} sb={sb} {name}: "
+                    f"{dt*1e3:8.1f} ms "
                     f"{n/dt/1e6:7.2f} Mrays/s  hit={hit_agree:.4f} "
                     f"t={t_agree:.4f}  pairs={st['pairs']/1e3:.0f}K "
                     f"bins={st['bins_used']/1e3:.0f}K occ={occ:.2f} "

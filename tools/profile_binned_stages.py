@@ -7,7 +7,7 @@ the XLA prep stages. This times cumulative cuts of _binned_trace
 secondary wave; deltas attribute each stage. Same-process interleaved,
 3 reps each.
 
-python tools/profile_binned_stages.py [--k=256] [--g=8] [--pcap=16]
+python tools/profile_binned_stages.py [--k=256] [--g=8] [--pcap=16] [--sb=1]
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ def main():
     k = opts.get_int("k", 256)
     g = opts.get_int("g", 8)
     pcap = opts.get_int("pcap", 16)
+    sb = opts.get_int("sb", 1)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,7 +67,7 @@ def main():
     valid = np.asarray(scene0.geo.tri_material) >= 0
     fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid, leaf_size=k)
     feat = spallas.pack_leaf_features(fat)
-    print(f"K={k} leaves={fat.num_leaves} g={g} pcap={pcap}", flush=True)
+    print(f"K={k} leaves={fat.num_leaves} g={g} pcap={pcap} sb={sb}", flush=True)
 
     h0 = spallas.pallas_closest(fat, feat, origin, direction, block=2048)
     sp = make_shading_point(scene0.geo, h0.tri, h0.bary, direction)
@@ -109,7 +110,7 @@ def main():
         def run(stage=stage):
             pm, lw, st_ = sbinned._binned_trace(
                 op, dp, tp, jnp.float32(1e-4), fat.leaf_lo, fat.leaf_hi,
-                feat, g=g, pcap=pcap, mcap=int(mcap), stage=stage,
+                feat, g=g, pcap=pcap, mcap=int(mcap), stage=stage, sb=sb,
             )
             return pm.sum()
 
