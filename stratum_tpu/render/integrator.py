@@ -58,6 +58,19 @@ class RenderConfig:
                              # roughly linearly in the factor.
     rr_depth: int = 2  # bounce index where Russian roulette starts
     rr_min_beta: float = 0.05
+    slim_carry: bool = False  # bounce-scan carry diet (r5, VERDICT item
+                              # 8): the RNG state uint32[N,4] is
+                              # (px, py, seed, dim) where only the dim
+                              # counter changes per bounce and is LANE-
+                              # UNIFORM by construction (every draw is a
+                              # dense next_floats over the whole wave), so
+                              # carry ONE uint32 scalar and rebuild st
+                              # from the closed-over pixel grid each
+                              # bounce; untextured scenes drop the [N]
+                              # cone_dist column the same way. Bit-
+                              # identical results (tested); auto-disabled
+                              # under wave_caps (the compaction repacks
+                              # st rows). Static jit key.
     bsdf: str = "lambert"  # "lambert" | "disney"
     tracer: str = "auto"  # "auto" | "mxu" | "bvh" | "brute"
     alpha_test: bool = False  # re-trace through alpha-masked hits
@@ -208,6 +221,11 @@ class RenderConfig:
     binned_pcap: int = 16  # binned tracer: max leaves per pair group
                            # (overflow drops pairs -> misses; size with
                            # headroom from tools/perf_binned.py stats)
+    binned_sb: int = 1  # binned tracer superbins: bins of ONE leaf per
+                        # Pallas grid step — amortizes the ~1.1 us
+                        # per-grid-step pipeline fixed cost (measured r5,
+                        # tools/profile_binned_stages.py) over sb bins at
+                        # the price of longer per-leaf run padding
     wave_caps: tuple = ()  # cross-bounce stream compaction (BASELINE
                            # config 5; the TPU answer to the reference's
                            # SIMT lane retirement): entry b caps bounce
@@ -286,6 +304,7 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
             return sbinned.pallas_occluded_binned(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t,
                 g=cfg.binned_shadow, pcap=cfg.binned_pcap,
+                sb=cfg.binned_sb,
             )
 
     closest_in = closest
@@ -301,7 +320,7 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
             return sbinned.pallas_closest_binned(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 g=cfg.binned_secondary, pcap=cfg.binned_pcap,
-                slot_payload=scene.slot_payload,
+                sb=cfg.binned_sb, slot_payload=scene.slot_payload,
             )
 
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
@@ -706,10 +725,19 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     else:
         light_tile = None
 
+    # slim carry (see RenderConfig.slim_carry): the per-lane RNG rows and
+    # the untextured cone column leave the scan carry; bit-identical
+    slim = cfg.slim_carry and not cfg.wave_caps
+    textured = scene.textures.resolution > 1
+
     def bounce(carry, _, px_l=px, py_l=py, closest_fn=None):
         closest_fn = trace_closest if closest_fn is None else closest_fn
         (origin, direction, beta, radiance, alive, prev_pdf_w, st, depth,
          n_rays, cone_dist) = carry
+        if slim:
+            # st arrives as the scalar dim counter (lane-uniform): rebuild
+            # the full uint32[N,4] (px, py, seed, dim) state from closures
+            st = srng.rng_init(px_l, py_l, seed, st)
         n_rays = n_rays + jnp.sum(alive, dtype=n_rays.dtype)
         # dead lanes trace a zero-length segment: packet/pallas blocks of
         # dead rays produce no candidates and exit immediately
@@ -1274,14 +1302,17 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         # tracers — ops/raysort — so the integrator state never moves)
         if not (cfg.use_nee and cfg.defer_shadows):
             shadow_batch = None
+        st_out = st[0, 3] if slim else st
         return (
-            origin, direction, beta, radiance, alive, prev_pdf_w, st,
+            origin, direction, beta, radiance, alive, prev_pdf_w, st_out,
             depth + 1, n_rays, cone_dist,
         ), shadow_batch
 
     carry = (
-        origin, direction, beta, radiance, alive, prev_pdf_w, st,
-        jnp.asarray(0), n_rays, cone_dist,
+        origin, direction, beta, radiance, alive, prev_pdf_w,
+        st[0, 3] if slim else st,
+        jnp.asarray(0), n_rays,
+        jnp.zeros((), jnp.float32) if (slim and not textured) else cone_dist,
     )
 
     if cfg.wave_caps:

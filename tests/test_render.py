@@ -6,6 +6,8 @@ The reference has no automated tests; these encode its *manual* oracles
 consistency (NEE vs BSDF-sampling vs MIS converge to the same mean — the
 ``BDPTDebugMode::ePathLengthContribution`` cross-check idea)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -151,6 +153,40 @@ def test_unrolled_bounce_scan_bit_identical(cornell):
     ]
     np.testing.assert_array_equal(imgs[0], imgs[1])
     np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
+def test_slim_carry_bit_identical(cornell):
+    """cfg.slim_carry replaces the carried uint32[N,4] RNG state with a
+    scalar dim counter rebuilt from the pixel grid each bounce (and drops
+    the untextured cone column) — the RNG dims consumed per bounce are
+    lane-uniform by construction, so images must match bit for bit,
+    including through the deferred-shadow + sorted path and the lanes
+    batch (per-lane seed arrays)."""
+    scene, c2w, fovy = cornell
+    view = camera.make_view(c2w, fovy, 32, 32)
+    for kw in (
+        dict(max_bounces=3),
+        dict(max_bounces=3, sort_rays=True, defer_shadows=True,
+             bsdf="disney"),
+    ):
+        a = np.asarray(
+            integrator.render_path(
+                scene, view, integrator.RenderConfig(32, 32, **kw), 7
+            )
+        )
+        b = np.asarray(
+            integrator.render_path(
+                scene, view,
+                integrator.RenderConfig(32, 32, slim_carry=True, **kw), 7,
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+    cfg = integrator.RenderConfig(32, 32, max_bounces=2)
+    la, _ = integrator.render_path_lanes(scene, view, cfg, 2, 3)
+    lb, _ = integrator.render_path_lanes(
+        scene, view, dataclasses.replace(cfg, slim_carry=True), 2, 3
+    )
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 def test_deferred_shadows_match_inline(cornell):
