@@ -323,20 +323,32 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
         return _cut(binout)
 
     # ---- 7. scatter results back + min over pair slots ----
-    # TRANSPOSED resolve: rays-in-group on SUBLANES, pairs on LANES. The
-    # row-major version scattered [mpad, g] rows into a [ng*pcap+1, g]
-    # table — minor dim g tile-pads toward 128 (16x physical bytes at
-    # g=8; the r5 stage profile measured the resolve at +101 ms/wave).
-    # [g, mpad] / [g, ng*pcap+1] keep every table full-lane.
+    # TRANSPOSED resolve: rays-in-group on SUBLANES, pairs on LANES
+    # ([g, mpad] — a row-major [mpad, g] table tile-pads its minor dim
+    # toward 128, 16x physical bytes at g=8), then PER-ROW 1-D
+    # scatter-mins: the 2-D column scatter `.at[:, ppid].set` on a
+    # [g, ng*pcap+1] table measured +96-101 ms/wave (r5 stage profile,
+    # BOTH before and after the transpose fix — the column scatter
+    # itself is the cost), while 1-D scatters of the same element count
+    # measure ~4.5 ms each in the pad stage. g independent 1-D
+    # scatter-mins + fused per-row [NG, pcap] min-reductions keep every
+    # intermediate full-lane.
     rows_t = jnp.transpose(
         binout.reshape(nbins, bw, g), (2, 0, 1)
     ).reshape(g, mpad)
-    res_t = jnp.full((g, ng * pcap + 1), _MISS, jnp.int32).at[
-        :, ppid
-    ].set(rows_t, mode="drop")[:, : ng * pcap]
-    res3 = res_t.reshape(g, ng, pcap)
-    packedmin_t = jnp.min(res3, axis=2)  # [g, NG]
-    wp = jnp.argmin(res3, axis=2)  # [g, NG] winning pair slot
+    packedmin_rows = []
+    wp_rows = []
+    for r in range(g):
+        res_r = (
+            jnp.full((ng * pcap + 1,), _MISS, jnp.int32)
+            .at[ppid]
+            .min(rows_t[r], mode="drop")[: ng * pcap]
+            .reshape(ng, pcap)
+        )
+        packedmin_rows.append(jnp.min(res_r, axis=1))  # [NG]
+        wp_rows.append(jnp.argmin(res_r, axis=1))  # [NG]
+    packedmin_t = jnp.stack(packedmin_rows)  # [g, NG]
+    wp = jnp.stack(wp_rows)  # [g, NG] winning pair slot
     leaf_w_t = jnp.full((g, ng), -1, jnp.int32)
     for pp in range(pcap):
         leaf_w_t = jnp.where(wp == pp, slots[:, pp][None, :], leaf_w_t)

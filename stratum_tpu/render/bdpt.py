@@ -625,16 +625,37 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
     return radiance, st, new_lvc
 
 
+def _stage_cut(n, num_pix, *deps):
+    """Stage-cut return for tools/profile_bdpt_stages.py: a tiny reduction
+    depending on everything computed so far, broadcast into the real output
+    shapes, so XLA DCEs the rest of the estimator and wall-clock deltas
+    attribute stages (same trick as ops/binned._binned_trace)."""
+    acc = jnp.float32(0)
+    for x in deps:
+        if x is None:
+            continue
+        acc = acc + jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-30)
+    return (
+        jnp.zeros((n, 3), jnp.float32) + acc,
+        jnp.zeros((num_pix, 3), jnp.float32),
+    )
+
+
 def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
                px=None, py=None, lane0=0, num_light_paths=None,
-               prev_lvc=None, want_lvc_state=False):
+               prev_lvc=None, want_lvc_state=False, stage=None):
     """One bidirectional sample per pixel. Returns (per-pixel radiance
     [N,3] from strategies with t>=2, splat image [num_pix,3] from t=1).
 
     ``px``/``py`` default to the full pixel grid; a sharded caller passes
     its tile plus ``lane0`` (global index of its first lane) so light-path
     RNG streams stay globally unique — the splat image is then psum'd over
-    the mesh (parallel/mesh.py)."""
+    the mesh (parallel/mesh.py).
+
+    ``stage`` (profiling only, tools/profile_bdpt_stages.py): cut the
+    computation after "camwalk" / "lightwalk" / "s0" (emitter + env hits) /
+    "s1" (NEE) / "connect" (s>=2 strategies) and return a DCE-proof
+    reduction in the real output shapes."""
     bsdf_eval, _ = _bsdf_fns(cfg)
     trace_closest, trace_occluded = _trace_fns(scene, cfg)
     geo = scene.geo
@@ -654,6 +675,11 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         scene, cfg, st, origin, direction,
         jnp.ones((n, 3), jnp.float32), pdf_cam_w, depth,
     )
+    if stage == "camwalk":
+        return _stage_cut(
+            n, num_pix, z.position, z.beta, z.pdf_fwd, z.pdf_rev,
+            z.valid, z_esc.beta,
+        )
 
     # ---- light subpath ----------------------------------------------------
     # the light-start pdf folds the env/area selection probability so every
@@ -699,6 +725,13 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
     yc_valid = prepend(
         has_light & (ls.pdf_area > 0), yw.valid & has_light
     )
+
+    if stage == "lightwalk":
+        return _stage_cut(
+            n, num_pix, z.position, z.beta, z.pdf_fwd, z.pdf_rev,
+            z.valid, z_esc.beta, yc_pos, yc_beta, yc_fwd, yc_rev,
+            yc_valid,
+        )
 
     radiance = jnp.zeros((n, 3), jnp.float32)
     splat = jnp.zeros((num_pix, 3), jnp.float32)
@@ -753,6 +786,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         radiance = radiance + jnp.where(
             esc_m[:, None], z_esc.beta[:, j] * le * w_env[:, None], 0.0
         )
+
+    if stage == "s0":
+        return radiance + _stage_cut(n, num_pix, yc_beta, yc_valid)[0], splat
 
     # ---- strategy s=1: NEE from every camera vertex ------------------------
     # env-vs-area split (sample_light); area samples use the full area-MIS
@@ -827,6 +863,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
             (cand & ~occ)[:, None], contrib * w[:, None], 0.0
         )
 
+    if stage == "s1":
+        return radiance + _stage_cut(n, num_pix, yc_beta, yc_valid)[0], splat
+
     # ---- strategies s>=2, t>=2: subpath connections ------------------------
     new_lvc = None
     if cfg.lvc_connections > 0:
@@ -846,7 +885,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
             bsdf_eval, trace_occluded, zslot_mat,
         )
 
-    # ---- strategy t=1: splat every light vertex to the camera --------------
+    if stage == "connect":
+        return radiance, splat
+
     # ---- strategy t=1: splat every light vertex to the camera --------------
     for k in range(depth + 1):  # combined slot k, s = k+1
         to_cam = cam_pos - yc_pos[:, k]
