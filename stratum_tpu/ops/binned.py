@@ -119,10 +119,10 @@ def _bin_kernel(bleaf_sp, rays_ref, feat_ref, out_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("g", "pcap", "mcap", "interpret", "stage", "sb"),
+    static_argnames=("g", "pcap", "mcap", "interpret", "stage", "sb", "em"),
 )
 def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
-                  interpret=False, stage=None, sb=1):
+                  interpret=False, stage=None, sb=1, em="ray"):
     """Core pipeline on a PADDED wave (N divisible by g * _SLICE buckets).
 
     Returns (packedmin [NG, g] int32, leaf_w [NG, g] int32, stats)."""
@@ -149,32 +149,101 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
         inv = jnp.where(
             jnp.abs(ds_) > 1e-20, 1.0 / ds_, jnp.sign(ds_) * 1e20 + 1e20
         )
-        ox, oy, oz = os_[:, 0:1], os_[:, 1:2], os_[:, 2:3]  # [S, 1]
-        ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+        if em == "group":
+            # GROUP-INTERVAL slab tests (r5 emit diet): one interval-
+            # arithmetic test per (group, leaf) instead of g per-ray tests
+            # + an any-reduction — conservative (a pass whenever ANY real
+            # ray could pass, possibly more), so it can only ADD pairs the
+            # kernel then rejects; hits are unchanged. Dead lanes (t bound
+            # 0) are masked out of the interval so they never inflate it;
+            # an all-dead group gets an inverted interval and emits
+            # nothing. Intermediates are [NGS, 64] — g-fold smaller than
+            # the per-ray pass — at ~2x the ops per element.
+            alive_l = (tbs > 0.0)[:, None]  # [S, 1]
+            big = jnp.float32(3.0e38)
+
+            def gmin(x):
+                return jnp.min(
+                    jnp.where(alive_l, x, big).reshape(ngs, g, 3), axis=1
+                )
+
+            def gmax(x):
+                return jnp.max(
+                    jnp.where(alive_l, x, -big).reshape(ngs, g, 3), axis=1
+                )
+
+            o_lo, o_hi = gmin(os_), gmax(os_)  # [NGS, 3]
+            i_lo, i_hi = gmin(inv), gmax(inv)
+            tb_g = jnp.max(tbs.reshape(ngs, g), axis=1)  # [NGS]
+            ol = [o_lo[:, a : a + 1] for a in range(3)]  # [NGS, 1] each
+            oh = [o_hi[:, a : a + 1] for a in range(3)]
+            il = [i_lo[:, a : a + 1] for a in range(3)]
+            ih = [i_hi[:, a : a + 1] for a in range(3)]
+        else:
+            ox, oy, oz = os_[:, 0:1], os_[:, 1:2], os_[:, 2:3]  # [S, 1]
+            ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
 
         def leaf_chunk(carry, ci):
             count, slots = carry  # [ngs], [ngs, pcap]
             lo_c = lax.dynamic_slice(lo_p, (ci, 0), (64, 3))
             hi_c = lax.dynamic_slice(hi_p, (ci, 0), (64, 3))
-            t0x = (lo_c[None, :, 0] - ox) * ix  # [S, 64]
-            t1x = (hi_c[None, :, 0] - ox) * ix
-            t0y = (lo_c[None, :, 1] - oy) * iy
-            t1y = (hi_c[None, :, 1] - oy) * iy
-            t0z = (lo_c[None, :, 2] - oz) * iz
-            t1z = (hi_c[None, :, 2] - oz) * iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            # tf >= t_min matches the block kernel's entry pass
-            # (packet._block_entries); the intersection epsilon itself is
-            # _mt_classify's 1e-4 relative bound, same as the block kernel
-            p = (tn <= tf) & (tf >= tmn) & (tn < tbs[:, None])  # [S, 64]
-            pg = p.reshape(ngs, g, 64).any(axis=1)  # [ngs, 64]
+            if em == "group":
+                # interval of t = (b - o) * i per axis/bound: 4-combo
+                # product bounds (i may span zero for a sign-mixed group)
+                tn_lo = jnp.zeros((ngs, 64), jnp.float32)
+                tf_hi = jnp.full((ngs, 64), big, jnp.float32)
+                for a in range(3):
+                    bt = []
+                    for b_ in (lo_c[None, :, a], hi_c[None, :, a]):
+                        u_lo = b_ - oh[a]  # [NGS, 64]
+                        u_hi = b_ - ol[a]
+                        p1, p2 = u_lo * il[a], u_lo * ih[a]
+                        p3, p4 = u_hi * il[a], u_hi * ih[a]
+                        bt.append((
+                            jnp.minimum(
+                                jnp.minimum(p1, p2), jnp.minimum(p3, p4)
+                            ),
+                            jnp.maximum(
+                                jnp.maximum(p1, p2), jnp.maximum(p3, p4)
+                            ),
+                        ))
+                    # near/far per axis: min/max of the two bound-t
+                    # intervals (conservative envelope over the group)
+                    tn_lo = jnp.maximum(
+                        tn_lo, jnp.minimum(bt[0][0], bt[1][0])
+                    )
+                    tf_hi = jnp.minimum(
+                        tf_hi, jnp.maximum(bt[0][1], bt[1][1])
+                    )
+                pg = (
+                    (tn_lo <= tf_hi) & (tf_hi >= tmn)
+                    & (tn_lo < tb_g[:, None])
+                )  # [NGS, 64]
+            else:
+                t0x = (lo_c[None, :, 0] - ox) * ix  # [S, 64]
+                t1x = (hi_c[None, :, 0] - ox) * ix
+                t0y = (lo_c[None, :, 1] - oy) * iy
+                t1y = (hi_c[None, :, 1] - oy) * iy
+                t0z = (lo_c[None, :, 2] - oz) * iz
+                t1z = (hi_c[None, :, 2] - oz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(
+                        jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
+                    ),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
+                    ),
+                    jnp.maximum(t0z, t1z),
+                )
+                # tf >= t_min matches the block kernel's entry pass
+                # (packet._block_entries); the intersection epsilon itself
+                # is _mt_classify's 1e-4 relative bound, as in the block
+                # kernel
+                p = (tn <= tf) & (tf >= tmn) & (tn < tbs[:, None])  # [S,64]
+                pg = p.reshape(ngs, g, 64).any(axis=1)  # [ngs, 64]
             cum = jnp.cumsum(pg.astype(jnp.int32), axis=1)
             dest = count[:, None] + cum - 1  # slot index where passing
             leaf1 = (ci + lax.broadcasted_iota(jnp.int32, (1, 64), 1)) + 1
@@ -368,7 +437,8 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
 def pallas_closest_binned(
     fat, leaf_feat_packed, origin, direction, t_min=1e-4, t_max=None,
     g: int = 8, pcap: int = 16, mcap: int | None = None, sb: int = 1,
-    interpret: bool = False, slot_payload=None, with_stats: bool = False,
+    em: str = "ray", interpret: bool = False, slot_payload=None,
+    with_stats: bool = False,
 ) -> HitRecord:
     """Closest hit via the binned pair-stream kernel (drop-in for
     pallas_closest on SORTED waves; see module docstring). ``g`` = rays
@@ -414,7 +484,7 @@ def pallas_closest_binned(
     tb = jnp.pad(t_max, (0, npad - n))  # pad t bound 0 -> no pairs
     packedmin, leaf_w, stats = _binned_trace(
         o, d, tb, jnp.float32(t_min), fat.leaf_lo, fat.leaf_hi,
-        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap), sb=sb,
+        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap), sb=sb, em=em,
         interpret=interpret,
     )
     mask = jnp.int32(~((1 << _IDX_BITS) - 1))
@@ -461,7 +531,7 @@ def pallas_closest_binned(
 def pallas_occluded_binned(
     fat, leaf_feat_packed, origin, direction, t_max, t_min=1e-4,
     g: int = 8, pcap: int = 16, mcap: int | None = None, sb: int = 1,
-    interpret: bool = False, with_stats: bool = False,
+    em: str = "ray", interpret: bool = False, with_stats: bool = False,
 ):
     """Any-hit via the binned pipeline: same pair emission (a dead lane's
     t bound 0 emits no pairs) and bin kernel; a ray is blocked when the
@@ -493,7 +563,7 @@ def pallas_occluded_binned(
     tb = jnp.pad(limit, (0, npad - n))  # pad bound 0 -> no pairs
     packedmin, _leaf_w, stats = _binned_trace(
         o, d, tb, jnp.float32(t_min), fat.leaf_lo, fat.leaf_hi,
-        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap), sb=sb,
+        leaf_feat_packed, g=g, pcap=pcap, mcap=int(mcap), sb=sb, em=em,
         interpret=interpret,
     )
     mask = jnp.int32(~((1 << _IDX_BITS) - 1))

@@ -221,6 +221,11 @@ class RenderConfig:
     binned_pcap: int = 16  # binned tracer: max leaves per pair group
                            # (overflow drops pairs -> misses; size with
                            # headroom from tools/perf_binned.py stats)
+    binned_em: str = "ray"  # binned tracer pair emission: "ray" =
+                            # per-ray slab tests reduced to group bits;
+                            # "group" = conservative per-group interval-
+                            # arithmetic tests (g-fold fewer tests; may
+                            # emit extra pairs the kernel rejects)
     binned_sb: int = 1  # binned tracer superbins: bins of ONE leaf per
                         # Pallas grid step — amortizes the ~1.1 us
                         # per-grid-step pipeline fixed cost (measured r5,
@@ -304,7 +309,7 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
             return sbinned.pallas_occluded_binned(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t,
                 g=cfg.binned_shadow, pcap=cfg.binned_pcap,
-                sb=cfg.binned_sb,
+                sb=cfg.binned_sb, em=cfg.binned_em,
             )
 
     closest_in = closest
@@ -320,7 +325,8 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
             return sbinned.pallas_closest_binned(
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 g=cfg.binned_secondary, pcap=cfg.binned_pcap,
-                sb=cfg.binned_sb, slot_payload=scene.slot_payload,
+                sb=cfg.binned_sb, em=cfg.binned_em,
+                slot_payload=scene.slot_payload,
             )
 
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):

@@ -49,6 +49,37 @@ def test_binned_matches_brute(rng_np, g):
     assert np.allclose(tb, tr, rtol=2e-3, atol=1e-4)
 
 
+def test_binned_group_interval_emit_matches_ray_emit(rng_np):
+    """em="group" (conservative per-group interval slab tests) can only
+    ADD pairs the kernel rejects, so with pcap headroom the hits must
+    match em="ray" exactly — including waves with dead lanes (masked out
+    of the interval) and sign-mixed groups (the 4-combo product bounds)."""
+    pos, idx = _random_tris(rng_np, 400)
+    fat = packet.build_fat_bvh(pos, idx, leaf_size=32)
+    feat = pallas_trace.pack_leaf_features(fat, mode="c48")
+    o, d = _random_rays(rng_np, 512)
+    t_max = jnp.where(
+        jnp.arange(512) % 5 == 0, 0.0, intersect.T_MAX
+    ).astype(jnp.float32)
+    ha = binned.pallas_closest_binned(
+        fat, feat, o, d, t_max=t_max, g=8, pcap=48, mcap=1 << 15,
+        em="ray", interpret=True,
+    )
+    hg, st = binned.pallas_closest_binned(
+        fat, feat, o, d, t_max=t_max, g=8, pcap=48, mcap=1 << 15,
+        em="group", interpret=True, with_stats=True,
+    )
+    assert int(st["dropped_pcap"]) == 0 and int(st["dropped_mcap"]) == 0
+    hg = binned.pallas_closest_binned(
+        fat, feat, o, d, t_max=t_max, g=8, pcap=48, mcap=1 << 15,
+        em="group", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ha.tri), np.asarray(hg.tri))
+    np.testing.assert_allclose(
+        np.asarray(ha.t), np.asarray(hg.t), rtol=1e-6
+    )
+
+
 def test_binned_slot_mode_matches_block_kernel(rng_np):
     """Slot-mode output (t, slot) agrees with the block kernel's slot mode
     after finalize (same fused payload path the integrator uses)."""

@@ -61,6 +61,7 @@ def main():
     pcap = opts.get_int("pcap", 16)
     mcapdiv = opts.get_int("mcapdiv", 2)
     sb = opts.get_int("sb", 1)
+    em = opts.get_str("em", "ray")
     g = builtin.atrium()
     scene0, _ = flatten.flatten(g.root)
     node, cam = flatten.find_camera(g.root)
@@ -144,7 +145,7 @@ def main():
             def binned_closest(o, d, tm, gg=gg, mcap=mcap):
                 h = sbinned.pallas_closest_binned(
                     fat, feat, o, d, t_max=tm, g=gg, pcap=pcap, mcap=mcap,
-                    sb=sb,
+                    sb=sb, em=em,
                 )
                 return h.t, h.tri
 
@@ -152,7 +153,7 @@ def main():
             def binned_stats(o, d, tm, gg=gg, mcap=mcap):
                 _, st = sbinned.pallas_closest_binned(
                     fat, feat, o, d, t_max=tm, g=gg, pcap=pcap, mcap=mcap,
-                    sb=sb, with_stats=True,
+                    sb=sb, em=em, with_stats=True,
                 )
                 return st
 
@@ -178,7 +179,7 @@ def main():
                 bw = sb * (128 // gg)  # pairs per grid STEP
                 occ = st["pairs"] / max(st["bins_used"] * bw, 1)
                 print(
-                    f"  binned g={gg:2d} p={pcap} sb={sb} {name}: "
+                    f"  binned g={gg:2d} p={pcap} sb={sb} em={em[0]} {name}: "
                     f"{dt*1e3:8.1f} ms "
                     f"{n/dt/1e6:7.2f} Mrays/s  hit={hit_agree:.4f} "
                     f"t={t_agree:.4f}  pairs={st['pairs']/1e3:.0f}K "

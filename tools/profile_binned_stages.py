@@ -38,6 +38,7 @@ def main():
     g = opts.get_int("g", 8)
     pcap = opts.get_int("pcap", 16)
     sb = opts.get_int("sb", 1)
+    em = opts.get_str("em", "ray")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -67,7 +68,7 @@ def main():
     valid = np.asarray(scene0.geo.tri_material) >= 0
     fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid, leaf_size=k)
     feat = spallas.pack_leaf_features(fat)
-    print(f"K={k} leaves={fat.num_leaves} g={g} pcap={pcap} sb={sb}", flush=True)
+    print(f"K={k} leaves={fat.num_leaves} g={g} pcap={pcap} sb={sb} em={em}", flush=True)
 
     h0 = spallas.pallas_closest(fat, feat, origin, direction, block=2048)
     sp = make_shading_point(scene0.geo, h0.tri, h0.bary, direction)
@@ -111,6 +112,7 @@ def main():
             pm, lw, st_ = sbinned._binned_trace(
                 op, dp, tp, jnp.float32(1e-4), fat.leaf_lo, fat.leaf_hi,
                 feat, g=g, pcap=pcap, mcap=int(mcap), stage=stage, sb=sb,
+                em=em,
             )
             return pm.sum()
 
