@@ -221,6 +221,11 @@ class RenderConfig:
     binned_pcap: int = 16  # binned tracer: max leaves per pair group
                            # (overflow drops pairs -> misses; size with
                            # headroom from tools/perf_binned.py stats)
+    binned_mcap_num: int = 0  # binned tracer pair capacity numerator:
+                              # mcap = n * num / 8 (0 = the module default
+                              # n // 2). Sized from perf_binned stats;
+                              # sentinel-padded kernel steps charge ~1.1us
+                              # each, so oversizing costs real time
     binned_em: str = "ray"  # binned tracer pair emission: "ray" =
                             # per-ray slab tests reduced to group bits;
                             # "group" = conservative per-group interval-
@@ -310,6 +315,8 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t,
                 g=cfg.binned_shadow, pcap=cfg.binned_pcap,
                 sb=cfg.binned_sb, em=cfg.binned_em,
+                mcap=(o.shape[0] * cfg.binned_mcap_num // 8
+                      if cfg.binned_mcap_num else None),
             )
 
     closest_in = closest
@@ -326,6 +333,8 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
                 scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
                 g=cfg.binned_secondary, pcap=cfg.binned_pcap,
                 sb=cfg.binned_sb, em=cfg.binned_em,
+                mcap=(o.shape[0] * cfg.binned_mcap_num // 8
+                      if cfg.binned_mcap_num else None),
                 slot_payload=scene.slot_payload,
             )
 

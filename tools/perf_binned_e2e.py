@@ -53,6 +53,7 @@ def main():
     k = opts.get_int("k", 256)
     sb = opts.get_int("sb", 4)
     pcap = opts.get_int("pcap", 16)
+    em = opts.get_str("em", "ray")
     cfgs = [
         tuple(int(x) for x in c.split(":"))
         for c in opts.get_str("cfgs", "8:0,8:8").split(",")
@@ -68,7 +69,7 @@ def main():
     valid = np.asarray(scene0.geo.tri_material) >= 0
     fat = spacket.build_fat_bvh_sah(pos_np, idx_np, valid, leaf_size=k)
     scene = flatten.replace_bvh(scene0, fat)
-    print(f"K={k}: leaves={fat.num_leaves} sb={sb} pcap={pcap}", flush=True)
+    print(f"K={k}: leaves={fat.num_leaves} sb={sb} pcap={pcap} em={em}", flush=True)
 
     base = integrator.RenderConfig(
         width=width, height=height, max_bounces=4, bsdf="disney",
@@ -94,7 +95,7 @@ def main():
     for gsec, gsha in cfgs:
         cfg = dataclasses.replace(
             base, binned_secondary=gsec, binned_shadow=gsha,
-            binned_pcap=pcap, binned_sb=sb,
+            binned_pcap=pcap, binned_sb=sb, binned_em=em,
         )
         variants.append((f"binned sec={gsec} sha={gsha}", cfg))
 
