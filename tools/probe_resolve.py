@@ -171,9 +171,71 @@ def main():
             wp.append(jnp.argmin(res_r, axis=1))
         return jnp.stack(pm), leafw(jnp.stack(wp))
 
+    def direct(binout, ppid):
+        """Occlusion-style: scatter-min straight into the per-ray table
+        (no leaf recovery — enough for any-hit; prices the no-pcap-table
+        path)."""
+        rows_t = rows_t_of(binout)
+        grp = jnp.minimum(ppid // pcap, ng - 1)
+        ok = ppid < ng * pcap
+        out = []
+        for r in range(g):
+            out.append(
+                jnp.full((ng + 1,), _MISS, jnp.int32)
+                .at[jnp.where(ok, grp, ng)]
+                .min(rows_t[r], mode="drop")[:ng]
+            )
+        return jnp.stack(out), jnp.zeros((g, ng), jnp.int32)
+
+    def dilate2sort(binout, ppid):
+        """Bounded segment-min by log2(pcap) dilation passes in ppid-sorted
+        order + a compaction sort that lands one answer per group, aligned.
+        Row-granular ops only (two multi-operand sorts + shifts)."""
+        rows_t = rows_t_of(binout)
+        # one dummy entry per group guarantees every group a segment
+        grp_pairs = jnp.minimum(ppid // pcap, ng)  # invalid -> ng
+        key1 = jnp.where(ppid < ng * pcap, grp_pairs, ng)
+        keys = jnp.concatenate(
+            [key1, jnp.arange(ng, dtype=jnp.int32)]
+        )
+        ops = [
+            jnp.concatenate(
+                [rows_t[r], jnp.full((ng,), _MISS, jnp.int32)]
+            )
+            for r in range(g)
+        ]
+        srt = lax.sort((keys,) + tuple(ops), num_keys=1)
+        sk = srt[0]
+        vals = list(srt[1:])
+        m = sk.shape[0]
+        pc2 = 1
+        while pc2 < pcap + 1:
+            pc2 *= 2
+        sh = 1
+        while sh < pc2:
+            same = jnp.concatenate(
+                [sk[sh:] == sk[:-sh], jnp.zeros((sh,), bool)]
+            )
+            for r in range(g):
+                shifted = jnp.concatenate(
+                    [vals[r][sh:], jnp.full((sh,), _MISS, jnp.int32)]
+                )
+                vals[r] = jnp.where(
+                    same, jnp.minimum(vals[r], shifted), vals[r]
+                )
+            sh *= 2
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+        ) & (sk < ng)
+        key2 = jnp.where(first, sk, ng + 1)
+        srt2 = lax.sort((key2,) + tuple(vals), num_keys=1)
+        return jnp.stack([v[:ng] for v in srt2[1:]]), jnp.zeros(
+            (g, ng), jnp.int32
+        )
+
     variants = dict(
         colscat=colscat, smin=smin, split=split, posgath=posgath,
-        sortinv=sortinv,
+        sortinv=sortinv, direct=direct, dilate2sort=dilate2sort,
     )
     for name, fn in variants.items():
         f = jax.jit(fn)
