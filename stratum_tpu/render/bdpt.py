@@ -327,13 +327,36 @@ def _cam_factor(view, position, width, height):
     return smath.safe_div(we * cos_c, dist2)
 
 
+def _batched_occlusion(trace_occluded, rays):
+    """ONE occlusion wave over a list of (origin, wi, dist) ray sets
+    (r5, BDPT attribution: the per-strategy occlusion waves were +754 ms
+    of the 1400 ms paired BDPT sample — each tiny wave pays the tracer's
+    full per-wave candidate prep). Occlusion is per-ray pure, so the
+    batched booleans are identical to the per-wave ones; callers keep
+    their accumulation order, so images are bit-identical."""
+    o = jnp.concatenate([r[0] for r in rays], axis=0)
+    w = jnp.concatenate([r[1] for r in rays], axis=0)
+    t = jnp.concatenate([r[2] for r in rays], axis=0)
+    occ = trace_occluded(o, w, t)
+    outs = []
+    off = 0
+    for r in rays:
+        m = r[2].shape[0]
+        outs.append(lax.dynamic_slice_in_dim(occ, off, m))
+        off += m
+    return outs
+
+
 def _connect_paired(scene, cfg, z, radiance, depth,
                     yc_pos, yc_ns, yc_ng, yc_wo, yc_beta, yc_fwd, yc_rev,
                     yc_mat, yc_uvs, yc_front, yc_valid,
                     bsdf_eval, trace_occluded, zslot_mat):
     """Deterministic all-pairs s>=2 x t>=2 connections (reference:
     connect_light_subpath, path.hlsli:801-822): every camera vertex
-    connects to every vertex of ITS OWN paired light subpath."""
+    connects to every vertex of ITS OWN paired light subpath. All
+    depth^2 strategies' shadow rays ride ONE batched occlusion wave."""
+    occ_rays = []
+    terms = []
     for j in range(depth):  # camera endpoint z_{j+1}
         mat_z = zslot_mat(j)
         wo_z_local = smath.to_local(z.wo[:, j], z.ns[:, j])
@@ -358,9 +381,10 @@ def _connect_paired(scene, cfg, z, radiance, depth,
                 z.valid[:, j] & yc_valid[:, k]
                 & (jnp.max(contrib, axis=-1) > 0)
             )
-            occ = trace_occluded(
-                intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi, dist
-            )
+            occ_rays.append((
+                intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi,
+                jnp.where(cand, dist, 0.0),
+            ))
             # overrides — camera side
             z_rev = z.pdf_rev.at[:, j].set(
                 _to_area(
@@ -390,9 +414,12 @@ def _connect_paired(scene, cfg, z, radiance, depth,
                 z.pdf_fwd, z_rev, yc_fwd[:, : k + 1], y_rev[:, : k + 1],
                 j + 1, s,
             )
-            radiance = radiance + jnp.where(
-                (cand & ~occ)[:, None], contrib * w[:, None], 0.0
-            )
+            terms.append((cand, contrib * w[:, None]))
+    occs = _batched_occlusion(trace_occluded, occ_rays)
+    for (cand, term), occ in zip(terms, occs):
+        radiance = radiance + jnp.where(
+            (cand & ~occ)[:, None], term, 0.0
+        )
     return radiance
 
 
@@ -456,6 +483,8 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
         prev_grid = shg.build_hashgrid(prev_lvc["pos"], cell_sz)
     new_pos = []
     new_packed = []
+    lvc_rays = []
+    lvc_terms = []
 
     for j in range(depth):
         mat_z = zslot_mat(j)
@@ -609,12 +638,21 @@ def _connect_lvc(scene, cfg, st, z, radiance, depth,
         w_ris = smath.safe_div(
             res.total_weight, res.m * jnp.maximum(res.target_pdf, 1e-20)
         )
-        occ = trace_occluded(intersect.ray_offset(z_j, ng_j), wi, dist)
-        ok = (res.target_pdf > 0) & ~occ
+        cand = res.target_pdf > 0
+        lvc_rays.append((
+            intersect.ray_offset(z_j, ng_j), wi,
+            jnp.where(cand, dist, 0.0),
+        ))
+        lvc_terms.append(
+            (cand, kept["contrib"] * (w_ris * w_mis)[:, None])
+        )
+    # winners' shadow rays for every camera depth in ONE occlusion wave
+    # (see _batched_occlusion)
+    for (cand, term), occ in zip(
+        lvc_terms, _batched_occlusion(trace_occluded, lvc_rays)
+    ):
         radiance = radiance + jnp.where(
-            ok[:, None],
-            kept["contrib"] * (w_ris * w_mis)[:, None],
-            0.0,
+            (cand & ~occ)[:, None], term, 0.0
         )
     new_lvc = None
     if new_pos:
@@ -792,7 +830,12 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
 
     # ---- strategy s=1: NEE from every camera vertex ------------------------
     # env-vs-area split (sample_light); area samples use the full area-MIS
-    # machinery, env samples the pairwise env MIS above
+    # machinery, env samples the pairwise env MIS above. All depth NEE
+    # shadow waves ride ONE batched occlusion trace (see
+    # _batched_occlusion — the per-vertex waves were each paying the
+    # tracer's full per-wave prep).
+    s1_rays = []
+    s1_terms = []
     for j in range(depth):
         u, st = srng.next_floats(st, 3)
         lsj = slights.sample_light(scene, u[..., 0], u[..., 1], u[..., 2])
@@ -836,9 +879,10 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
             & (jnp.max(contrib, axis=-1) > 0)
             & (lsj.is_env | has_light)
         )
-        occ = trace_occluded(
-            intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi, dist
-        )
+        s1_rays.append((
+            intersect.ray_offset(z.position[:, j], z.ng[:, j]), wi,
+            jnp.where(cand, dist, 0.0),
+        ))
         # overrides (area branch MIS)
         y_fwd1 = lsj.pdf_area[:, None]
         y_rev1 = _to_area(
@@ -859,8 +903,12 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         w_area = mis_weight_arrays(z.pdf_fwd, z_rev, y_fwd1, y_rev1, j + 1, 1)
         w_env = mis_power_heuristic(lsj.pdf_area, ev.pdf_fwd)
         w = jnp.where(lsj.is_env, w_env, w_area)
+        s1_terms.append((cand, contrib * w[:, None]))
+    for (cand, term), occ in zip(
+        s1_terms, _batched_occlusion(trace_occluded, s1_rays)
+    ):
         radiance = radiance + jnp.where(
-            (cand & ~occ)[:, None], contrib * w[:, None], 0.0
+            (cand & ~occ)[:, None], term, 0.0
         )
 
     if stage == "s1":
@@ -889,6 +937,9 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         return radiance, splat
 
     # ---- strategy t=1: splat every light vertex to the camera --------------
+    # (all depth+1 visibility waves batched into one occlusion trace)
+    sp_rays = []
+    sp_terms = []
     for k in range(depth + 1):  # combined slot k, s = k+1
         to_cam = cam_pos - yc_pos[:, k]
         dist = smath.length(to_cam)
@@ -917,13 +968,14 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         pix, inside, _ = scamera.sensor_importance(
             view, yc_pos[:, k], width, height
         )
-        occ = trace_occluded(
-            intersect.ray_offset(yc_pos[:, k], yc_ng[:, k]), wi, dist
-        )
-        ok = (
-            yc_valid[:, k] & ok_dir & inside & ~occ
+        cand = (
+            yc_valid[:, k] & ok_dir & inside
             & (jnp.max(contrib, axis=-1) > 0)
         )
+        sp_rays.append((
+            intersect.ray_offset(yc_pos[:, k], yc_ng[:, k]), wi,
+            jnp.where(cand, dist, 0.0),
+        ))
         # overrides: the camera generates this vertex
         y_rev = yc_rev.at[:, k].set(
             _to_area(
@@ -945,8 +997,12 @@ def trace_bdpt(scene: SceneData, view, cfg: RenderConfig, seed,
         pxi = jnp.clip(pix[..., 0].astype(jnp.int32), 0, width - 1)
         pyi = jnp.clip(pix[..., 1].astype(jnp.int32), 0, height - 1)
         idx = pyi * width + pxi
+        sp_terms.append((cand, idx, contrib * w[:, None]))
+    for (cand, idx, term), occ in zip(
+        sp_terms, _batched_occlusion(trace_occluded, sp_rays)
+    ):
         splat = splat.at[idx].add(
-            jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+            jnp.where((cand & ~occ)[:, None], term, 0.0)
         )
 
     if want_lvc_state:
