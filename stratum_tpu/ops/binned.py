@@ -391,38 +391,61 @@ def _binned_trace(o, d, tb, tmn, leaf_lo, leaf_hi, leaf_feat, g, pcap, mcap,
     if stage == "kernel":
         return _cut(binout)
 
-    # ---- 7. scatter results back + min over pair slots ----
-    # TRANSPOSED resolve: rays-in-group on SUBLANES, pairs on LANES
-    # ([g, mpad] — a row-major [mpad, g] table tile-pads its minor dim
-    # toward 128, 16x physical bytes at g=8), then PER-ROW 1-D
-    # scatter-mins: the 2-D column scatter `.at[:, ppid].set` on a
-    # [g, ng*pcap+1] table measured +96-101 ms/wave (r5 stage profile,
-    # BOTH before and after the transpose fix — the column scatter
-    # itself is the cost), while 1-D scatters of the same element count
-    # measure ~4.5 ms each in the pad stage. g independent 1-D
-    # scatter-mins + fused per-row [NG, pcap] min-reductions keep every
-    # intermediate full-lane.
+    # ---- 7. resolve: per-ray min over pair slots, ROW-GRANULAR ----
+    # Element-granular scatters price ~10 ns/element in EVERY form (the
+    # 2-D column scatter, 8x 1-D scatter-min, and the direct per-ray
+    # scatter all measured 81-114 ms at 1M pairs on-chip —
+    # tools/probe_resolve.py), so the resolve avoids scatters entirely:
+    # (a) sort pair results by GROUP id (one dummy entry per group
+    #     guarantees every group a segment; invalid pairs sort last),
+    # (b) bounded segment-min by log2(pcap) DILATION passes (a group has
+    #     <= pcap+1 entries, so shifted mins of stride 1,2,4,.. converge
+    #     and never cross segment boundaries thanks to the key guard),
+    # (c) a compaction sort on (is-first ? group : BIG) lands exactly one
+    #     answer per group, group-ordered, in the first ng slots.
+    # Probe: 21.2 ms vs 100-114 for the scatter forms. The winning LEAF
+    # rides the dilation as g tracked arrays (ties keep the first entry
+    # in sorted order = ascending leaf id, matching the old argmin over
+    # emission slots, which are also leaf-ascending).
     rows_t = jnp.transpose(
         binout.reshape(nbins, bw, g), (2, 0, 1)
     ).reshape(g, mpad)
-    packedmin_rows = []
-    wp_rows = []
-    for r in range(g):
-        res_r = (
-            jnp.full((ng * pcap + 1,), _MISS, jnp.int32)
-            .at[ppid]
-            .min(rows_t[r], mode="drop")[: ng * pcap]
-            .reshape(ng, pcap)
+    grp_pairs = jnp.where(ppid < ng * pcap, ppid // pcap, ng)
+    keys1 = jnp.concatenate([grp_pairs, jnp.arange(ng, dtype=jnp.int32)])
+    ops1 = tuple(
+        jnp.concatenate([rows_t[r], jnp.full((ng,), _MISS, jnp.int32)])
+        for r in range(g)
+    ) + (
+        jnp.concatenate([pleaf, jnp.full((ng,), -1, jnp.int32)]),
+    )
+    srt = lax.sort((keys1,) + ops1, num_keys=1)
+    sk = srt[0]
+    vals = list(srt[1 : 1 + g])
+    leafs = [srt[1 + g]] * g  # per-lane-row winner leaf tracking
+    m_ext = sk.shape[0]
+    sh = 1
+    while sh <= pcap:
+        same = jnp.concatenate(
+            [sk[sh:] == sk[:-sh], jnp.zeros((sh,), bool)]
         )
-        packedmin_rows.append(jnp.min(res_r, axis=1))  # [NG]
-        wp_rows.append(jnp.argmin(res_r, axis=1))  # [NG]
-    packedmin_t = jnp.stack(packedmin_rows)  # [g, NG]
-    wp = jnp.stack(wp_rows)  # [g, NG] winning pair slot
-    leaf_w_t = jnp.full((g, ng), -1, jnp.int32)
-    for pp in range(pcap):
-        leaf_w_t = jnp.where(wp == pp, slots[:, pp][None, :], leaf_w_t)
-    packedmin = packedmin_t.T  # [NG, g]
-    leaf_w = leaf_w_t.T
+        for r in range(g):
+            sval = jnp.concatenate(
+                [vals[r][sh:], jnp.full((sh,), _MISS, jnp.int32)]
+            )
+            slf = jnp.concatenate(
+                [leafs[r][sh:], jnp.full((sh,), -1, jnp.int32)]
+            )
+            closer = same & (sval < vals[r])
+            vals[r] = jnp.where(closer, sval, vals[r])
+            leafs[r] = jnp.where(closer, slf, leafs[r])
+        sh *= 2
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    ) & (sk < ng)
+    key2 = jnp.where(first, sk, jnp.int32(m_ext))
+    srt2 = lax.sort((key2,) + tuple(vals) + tuple(leafs), num_keys=1)
+    packedmin = jnp.stack([v[:ng] for v in srt2[1 : 1 + g]]).T  # [NG, g]
+    leaf_w = jnp.stack([lf[:ng] for lf in srt2[1 + g :]]).T
     stats = {
         "pairs": jnp.sum(jnp.minimum(count, pcap)),
         "dropped_pcap": jnp.sum(jnp.maximum(count - pcap, 0)),
