@@ -164,8 +164,11 @@ def main():
 
         def ris(seed):
             st = restir.init_restir(W * H)
-            _, direct = restir.restir_di(
-                scene, view, cfg_d, st, seed, candidates=8
+            # restir_di_jit: the unjitted wrapper dispatches the whole
+            # pipeline op-by-op (measured 29 s/spp through the tunnel
+            # vs 0.4 jitted)
+            _, direct = restir.restir_di_jit(
+                scene, view, cfg_d, st, seed, 8
             )
             return direct
 
