@@ -98,6 +98,13 @@ def main():
             binned_pcap=pcap, binned_sb=sb, binned_em=em,
         )
         variants.append((f"binned sec={gsec} sha={gsha}", cfg))
+        if opts.has("nosort") and gsec:
+            # binned secraw ~= secsort (r5 session 2): the emit IS the
+            # binning, so skip the trace-local sort for the binned waves
+            variants.append((
+                f"binned sec={gsec} sha={gsha} nosort",
+                dataclasses.replace(cfg, sort_rays=False),
+            ))
 
     # compile everything once (excluded from timing)
     for name, cfg in variants:
