@@ -221,6 +221,18 @@ class RenderConfig:
     binned_pcap: int = 16  # binned tracer: max leaves per pair group
                            # (overflow drops pairs -> misses; size with
                            # headroom from tools/perf_binned.py stats)
+    binned_bounces: int = 0  # bounce-indexed block/binned MIX: this many
+                             # EARLY post-primary bounces trace their
+                             # closest wave through the UNSORTED binned
+                             # tracer (it wins dense incoherent waves
+                             # 1.11-1.47x and needs no trace-local sort),
+                             # while the primary peel and the sparse
+                             # late-bounce tail stay on the block kernel
+                             # (whose early exit makes 3-8%-alive waves
+                             # near-free — the binned emit tax there is
+                             # what killed the all-binned e2e). Peeled
+                             # bounces leave the lax.scan, so compile
+                             # time grows with the count. 0 = off.
     binned_mcap_num: int = 0  # binned tracer pair capacity numerator:
                               # mcap = n * num / 8 (0 = the module default
                               # n // 2). Sized from perf_binned stats;
@@ -277,7 +289,14 @@ def _trace_fns(scene: SceneData, cfg: RenderConfig):
 
 
 def _trace_fns3(scene: SceneData, cfg: RenderConfig):
-    """(closest, closest_unsorted, occluded) tracers. ``auto`` picks the MXU
+    closest, closest_u, occluded, _ = _trace_fns4(scene, cfg)
+    return closest, closest_u, occluded
+
+
+def _trace_fns4(scene: SceneData, cfg: RenderConfig):
+    """(closest, closest_unsorted, occluded, closest_binned_peel) tracers
+    — the 4th is the unsorted binned closest for the bounce-indexed mix
+    (cfg.binned_bounces), or None. ``auto`` picks the MXU
     dense path for small scenes and packet traversal for large ones;
     ``brute`` is the exact oracle used by tests. Analytic spheres are merged
     in by a dense quadratic pass over every tracer (reference: procedural
@@ -338,6 +357,29 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
                 slot_payload=scene.slot_payload,
             )
 
+    closest_b = None
+    if (
+        cfg.binned_bounces > 0
+        and resolved_tracer(scene, cfg) == "pallas"
+    ):
+        # bounce-indexed mix: the peeled early bounces trace through the
+        # UNSORTED binned tracer (the emit is its own binning; measured
+        # 250.7 vs the sorted block kernel's 273.7 ms on the dense
+        # secondary wave, r5 session 2)
+        from stratum_tpu.ops import binned as sbinned
+
+        g_b = cfg.binned_secondary if cfg.binned_secondary > 0 else 8
+
+        def closest_b(o, d, tm=None):
+            return sbinned.pallas_closest_binned(
+                scene.fat_bvh, scene.leaf_feat_packed, o, d, t_max=tm,
+                g=g_b, pcap=cfg.binned_pcap, sb=cfg.binned_sb,
+                em=cfg.binned_em,
+                mcap=(o.shape[0] * cfg.binned_mcap_num // 8
+                      if cfg.binned_mcap_num else None),
+                slot_payload=scene.slot_payload,
+            )
+
     if cfg.sort_rays and resolved_tracer(scene, cfg) in ("pallas", "packet"):
         from stratum_tpu.ops import raysort
 
@@ -363,8 +405,10 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
 
         closest = _fin(closest)
         closest_u = _fin(closest_u)
+        if closest_b is not None:
+            closest_b = _fin(closest_b)
     if scene.spheres.num_spheres == 0:
-        return closest, closest_u, occluded
+        return closest, closest_u, occluded, closest_b
     from stratum_tpu.ops import spheres as sspheres
     from stratum_tpu.ops.intersect import HitRecord
 
@@ -391,7 +435,10 @@ def _trace_fns3(scene: SceneData, cfg: RenderConfig):
             sph.center, sph.radius, o, d, t
         )
 
-    return with_spheres(closest), with_spheres(closest_u), occluded2
+    return (
+        with_spheres(closest), with_spheres(closest_u), occluded2,
+        with_spheres(closest_b) if closest_b is not None else None,
+    )
 
 
 def _trace_fns_tris(scene: SceneData, cfg: RenderConfig):
@@ -649,7 +696,8 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
         scene_hi = jnp.maximum(
             scene_hi, jnp.max(scene.spheres.center + r, axis=0)
         )
-    trace_closest, trace_closest_u, trace_occluded = _trace_fns3(scene, cfg)
+    (trace_closest, trace_closest_u, trace_occluded,
+     trace_closest_b) = _trace_fns4(scene, cfg)
     # deferring shadow rays pays off by amortizing the BVH tracers'
     # candidate prep across bounces; the dense MXU/brute paths have no prep
     # and only gain scatter traffic (measured: Cornell 4.5 -> 3.1 Mrays/s)
@@ -1458,17 +1506,32 @@ def trace_path(scene: SceneData, view, cfg: RenderConfig, seed, px=None, py=None
     # tracer, the scan keeps the sorted one. Same bounce body, same RNG
     # stream: results are bit-identical.
     peel = trace_closest_u is not trace_closest
+    peeled_shadow = []
     if peel:
         carry, shadow_b0 = bounce(carry, None, closest_fn=trace_closest_u)
+        peeled_shadow.append(shadow_b0)
+    scan_len = cfg.max_bounces + (0 if peel else 1)
+    # bounce-indexed mix (cfg.binned_bounces): peel the early dense
+    # secondary bounces onto the unsorted binned tracer; the sparse tail
+    # stays in the scan on the block kernel (early exit)
+    peel_b = (
+        min(cfg.binned_bounces, scan_len)
+        if (peel and trace_closest_b is not None) else 0
+    )
+    for _pb in range(peel_b):
+        carry, shadow_pb = bounce(carry, None, closest_fn=trace_closest_b)
+        peeled_shadow.append(shadow_pb)
     carry, shadow_ys = lax.scan(
         bounce, carry, None,
-        length=cfg.max_bounces + (0 if peel else 1),
+        length=scan_len - peel_b,
         unroll=max(1, cfg.unroll_bounces),
     )
-    if peel and cfg.use_nee and cfg.defer_shadows:
+    if peeled_shadow and cfg.use_nee and cfg.defer_shadows:
         shadow_ys = jax.tree.map(
-            lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
-            shadow_b0, shadow_ys,
+            lambda *parts: jnp.concatenate(
+                [p[None] for p in parts[:-1]] + [parts[-1]], axis=0
+            ),
+            *peeled_shadow, shadow_ys,
         )
     radiance_out = carry[3]
 

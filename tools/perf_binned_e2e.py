@@ -98,6 +98,15 @@ def main():
             binned_pcap=pcap, binned_sb=sb, binned_em=em,
         )
         variants.append((f"binned sec={gsec} sha={gsha}", cfg))
+        if opts.has("mix") and gsec:
+            for nb in (1, 2):
+                variants.append((
+                    f"mix binned_bounces={nb}",
+                    dataclasses.replace(
+                        base, binned_bounces=nb, binned_secondary=0,
+                        binned_pcap=pcap, binned_sb=sb, binned_em=em,
+                    ),
+                ))
         if opts.has("nosort") and gsec:
             # binned secraw ~= secsort (r5 session 2): the emit IS the
             # binning, so skip the trace-local sort for the binned waves
