@@ -51,9 +51,10 @@ def main() -> int:
     W = H = 64
     view = camera.make_view(node.to_world(), cam.fovy, W, H)
     cfg = integrator.RenderConfig(width=W, height=H, max_bounces=4)
+    # render_path_progressive returns the MEAN already (acc / spp)
     img = np.asarray(
         integrator.render_path_progressive(scene, view, cfg, 8, 0)
-    ) / 8
+    )
     env_px, sph_px = img[2, 2], img[H // 2, W // 2]
     if not np.allclose(env_px, 0.5, atol=1e-3):
         failures.append(f"furnace env pixel {env_px} != 0.5")
